@@ -1,0 +1,115 @@
+"""Property tests for the negative samplers (pair-count and distribution invariants
+of reference ``data_utils.py:275-388``; SURVEY.md §7.3)."""
+
+import numpy as np
+
+from news_recommendation_project_v2_tpu.data import (
+    compile_behaviors,
+    sample_pos_neg_infonce,
+    sample_pos_neg_pairs,
+)
+from news_recommendation_project_v2_tpu.data.sampling import batch_aligned_permutation
+
+
+def make_compiled(rng, rows=100, n_news=40):
+    impressions = []
+    for _ in range(rows):
+        k = int(rng.integers(2, 12))
+        ids = rng.choice(n_news, size=k, replace=False)
+        labs = rng.integers(0, 2, size=k)
+        labs[0] = 1
+        if labs.sum() == k:
+            labs[-1] = 0
+        impressions.append(" ".join(f"N{j}-{l}" for j, l in zip(ids, labs)))
+    return compile_behaviors(impressions, [None] * rows)
+
+
+def test_pair_sampler_invariants(rng):
+    c = make_compiled(rng)
+    out = sample_pos_neg_pairs(rng, c.imp_rev, c.imp_lens, c.labels_flat)
+    assert out.shape[0] == 3
+    pos, neg, row = out
+    offsets = np.concatenate([[0], np.cumsum(c.imp_lens)])
+    for i in range(c.num_rows):
+        seg = slice(offsets[i], offsets[i + 1])
+        rev, lab = c.imp_rev[seg], c.labels_flat[seg]
+        p_set = set(rev[lab == 1].tolist())
+        n_set = set(rev[lab == 0].tolist())
+        max_len = max(len(rev[lab == 1]), len(rev[lab == 0]))
+        sel = row == i
+        # Equalized count per impression.
+        assert sel.sum() == max_len
+        # All sampled ids come from the right label side.
+        assert set(pos[sel].tolist()) <= p_set
+        assert set(neg[sel].tolist()) <= n_set
+        # The larger side is sampled without replacement -> all distinct.
+        if len(n_set) >= max_len:
+            assert len(set(neg[sel].tolist())) == max_len
+        else:
+            assert len(set(pos[sel].tolist())) == max_len
+        # Every original positive appears when positives are oversampled.
+        if len(p_set) <= max_len:
+            assert set(pos[sel].tolist()) == p_set
+
+
+def test_pair_sampler_ratio_cap(rng):
+    c = make_compiled(rng)
+    out = sample_pos_neg_pairs(
+        rng, c.imp_rev, c.imp_lens, c.labels_flat, max_neg_ratio=0.5
+    )
+    pos, neg, row = out
+    offsets = np.concatenate([[0], np.cumsum(c.imp_lens)])
+    for i in range(c.num_rows):
+        seg = slice(offsets[i], offsets[i + 1])
+        lab = c.labels_flat[seg]
+        num_pos = int((lab == 1).sum())
+        num_neg = int((lab == 0).sum())
+        max_len = max(num_pos, num_neg)
+        if num_neg * 0.5 > num_pos:
+            max_len = int(num_pos / 0.5)
+        assert (row == i).sum() == max_len
+
+
+def test_infonce_sampler_invariants(rng):
+    c = make_compiled(rng)
+    k = 5
+    out = sample_pos_neg_infonce(rng, c.imp_rev, c.imp_lens, c.labels_flat, k)
+    assert out.shape[0] == 2 + k
+    pos, negs, row = out[0], out[1:-1], out[-1]
+    offsets = np.concatenate([[0], np.cumsum(c.imp_lens)])
+    for i in range(c.num_rows):
+        seg = slice(offsets[i], offsets[i + 1])
+        rev, lab = c.imp_rev[seg], c.labels_flat[seg]
+        p_list = rev[lab == 1].tolist()
+        n_set = set(rev[lab == 0].tolist())
+        sel = row == i
+        # One sampled row per positive; every positive appears exactly as often
+        # as it occurs.
+        assert sorted(pos[sel].tolist()) == sorted(p_list)
+        sub = negs[:, sel]
+        if len(n_set) >= k:
+            # k distinct negatives per positive.
+            for col in sub.T:
+                assert len(set(col.tolist())) == k
+                assert set(col.tolist()) <= n_set
+        else:
+            # All negatives plus -1 padding.
+            for col in sub.T:
+                real = [x for x in col.tolist() if x >= 0]
+                assert set(real) == n_set
+                assert col.tolist().count(-1) == k - len(n_set)
+
+
+def test_batch_aligned_permutation(rng):
+    idx = batch_aligned_permutation(rng, total=23, batch_size=5)
+    assert sorted(idx.tolist()) == list(range(23))
+    # Tail block (indices 20..22) stays last.
+    assert idx[-3:].tolist() == [20, 21, 22]
+    # Every full block is contiguous.
+    for b in range(4):
+        pos = np.flatnonzero(np.isin(idx, np.arange(b * 5, (b + 1) * 5)))
+        assert pos.max() - pos.min() == 4
+    # Single-batch case is identity.
+    np.testing.assert_array_equal(
+        batch_aligned_permutation(rng, 4, 8), np.arange(4)
+    )
