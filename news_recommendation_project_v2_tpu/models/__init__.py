@@ -1,0 +1,78 @@
+"""Model zoo: user-history towers, content scorer, blending, and pooling.
+
+Factory functions mirror the reference's ``get_*_model`` surface
+(``modeling_utils.py:139,151,168,274,430,449,516``), keyed by ``TowerConfig``.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from ..config import TowerConfig
+from .attention import (
+    GatedMLP,
+    SelfAttention,
+    TokenAttentionPool,
+    TransformerEncoder,
+    TransformerLayer,
+    TransformerTower,
+)
+from .latent_attention import CrossAttention, GEGLUFeedForward, LatentAttentionTower
+from .pooling import (
+    POOLING,
+    average_pool,
+    first_token_pool,
+    last_token_pool,
+    pooling_for_architecture,
+)
+from .towers import ClassificationHead, FinalAttention, ReducingModel, WeightedSumModel
+
+
+def build_tower(config: TowerConfig) -> nn.Module:
+    """User-tower factory (reference ``get_final_attention_model`` /
+    ``get_new_attention_model`` / ``get_latent_attention_model``)."""
+    if config.kind == "final_attention":
+        return FinalAttention(
+            reduced_dim=config.reduced_dim,
+            hidden_dim=config.hidden_dim,
+            dropout_rate=config.dropout_rate,
+        )
+    if config.kind == "transformer":
+        return TransformerTower(
+            hidden_size=config.reduced_dim,
+            num_layers=config.num_layers,
+            dropout_rate=config.dropout_rate,
+            as_built=config.as_built,
+        )
+    if config.kind == "latent":
+        return LatentAttentionTower(
+            dim=config.reduced_dim,
+            num_latents=config.num_latents,
+            heads=config.num_heads,
+            dim_head=config.latent_dim_head,
+        )
+    raise ValueError(f"Unknown tower kind: {config.kind!r}")
+
+
+__all__ = [
+    "ClassificationHead",
+    "CrossAttention",
+    "FinalAttention",
+    "GEGLUFeedForward",
+    "GatedMLP",
+    "LatentAttentionTower",
+    "POOLING",
+    "ReducingModel",
+    "SelfAttention",
+    "TokenAttentionPool",
+    "TransformerEncoder",
+    "TransformerLayer",
+    "TransformerTower",
+    "WeightedSumModel",
+    "average_pool",
+    "build_tower",
+    "first_token_pool",
+    "last_token_pool",
+    "pooling_for_architecture",
+    "build_tower",
+]

@@ -1,0 +1,113 @@
+"""Latent-attention user tower (NV-Embed style), the flagship history pooler.
+
+Capability parity with reference ``latent_attention.py:1-171``: 64 learned
+latents (1024-dim, 8 heads, head dim 512); a PreNorm cross-attention where
+**history items are the queries and the latents are the context** (the
+reference's deliberate inversion of Perceiver, ``latent_attention.py:161-162`` —
+kept, SURVEY.md §7.4), a GEGLU feed-forward, both with residuals; masked
+mean-pool over history + L2 normalization.
+
+Cost is O(L * num_latents) — this is the algorithmic long-history compression
+mechanism (SURVEY.md §5 long-context). The attention is plain einsum/softmax;
+XLA maps the matmuls onto the MXU.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import REDUCED_DIM
+
+
+class CrossAttention(nn.Module):
+    """Reference ``Attention`` (``latent_attention.py:51-74``): q from x, kv from
+    context, no bias, no mask."""
+
+    query_dim: int
+    context_dim: int
+    heads: int = 8
+    dim_head: int = 512
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        inner = self.heads * self.dim_head
+        b, l, _ = x.shape
+        n = context.shape[1]
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(b, l, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (self.dim_head**-0.5)
+        probs = nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, inner)
+        return nn.Dense(self.query_dim, use_bias=False, name="to_out")(ctx)
+
+
+class GEGLUFeedForward(nn.Module):
+    """Reference ``FeedForward`` + ``GEGLU`` (``latent_attention.py:24-40``)."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.dim * self.mult * 2, name="proj_in")(x)
+        h, gates = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gates)
+        return nn.Dense(self.dim, name="proj_out")(h)
+
+
+class LatentAttentionTower(nn.Module):
+    """Reference ``LatentAttentionModel`` (``latent_attention.py:77-171``)."""
+
+    dim: int = REDUCED_DIM
+    num_latents: int = 64
+    heads: int = 8
+    dim_head: int = 512
+    output_normalize: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        embeddings: jnp.ndarray,  # [B, L, D]
+        attention_mask: jnp.ndarray | None = None,  # [B, L]
+        deterministic: bool = True,  # no dropout in this tower; kept for API parity
+    ) -> jnp.ndarray:
+        del deterministic
+        latents = self.param(
+            "latents",
+            nn.initializers.normal(stddev=1.0),
+            (self.num_latents, self.dim),
+        )
+        b = embeddings.shape[0]
+        ctx = jnp.broadcast_to(latents, (b, self.num_latents, self.dim))
+
+        # PreNorm cross-attention: norm both history (queries) and latents
+        # (context), residual to history (latent_attention.py:156-162).
+        h = embeddings
+        normed_x = nn.LayerNorm(name="cross_prenorm")(h)
+        normed_ctx = nn.LayerNorm(name="cross_prenorm_context")(ctx)
+        h = (
+            CrossAttention(
+                self.dim, self.dim, self.heads, self.dim_head, name="cross_attn"
+            )(normed_x, normed_ctx)
+            + h
+        )
+        # PreNorm GEGLU feed-forward, residual (latent_attention.py:163).
+        h = GEGLUFeedForward(self.dim, name="cross_ff")(
+            nn.LayerNorm(name="ff_prenorm")(h)
+        ) + h
+
+        if attention_mask is not None:
+            m = attention_mask[..., None].astype(h.dtype)
+            pooled = (h * m).sum(axis=1) / attention_mask.sum(
+                axis=1, keepdims=True
+            ).astype(h.dtype)
+            if self.output_normalize:
+                pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+            return pooled
+        return h

@@ -1,0 +1,90 @@
+"""Small learned towers: content-MLP scorer, additive-attention history pooler,
+score blender, and dimension reducer.
+
+Capability parity with reference ``modeling_utils.py``:
+- ``ClassificationHead`` (``:106-116``): 3-layer ReLU MLP 1024->1024->1024->1,
+  content-only cold-start scorer.
+- ``FinalAttention`` (``:175-228``): additive attention with **per-dimension**
+  exp weights over history (weights shape [B, L, D] — a deliberate reference
+  semantic, quirks ledger SURVEY.md §7.4).
+- ``WeightedSumModel`` (``:158-165``): sigmoid(alpha) blend of cosine and
+  baseline scores.
+- ``ReducingModel`` (``:438-446``): 2-layer MLP projector.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import EMBEDDING_DIM, REDUCED_DIM
+
+
+class ClassificationHead(nn.Module):
+    """Reference ``modeling_utils.py:106-116``."""
+
+    in_dim: int = EMBEDDING_DIM
+    hidden_dim: int = EMBEDDING_DIM
+    out_dim: int = 1
+
+    @nn.compact
+    def __call__(self, embeddings: jnp.ndarray) -> jnp.ndarray:
+        x = nn.relu(nn.Dense(self.hidden_dim, name="linear_1")(embeddings))
+        x = nn.relu(nn.Dense(self.hidden_dim, name="linear_2")(x))
+        return nn.Dense(self.out_dim, name="linear_3")(x)
+
+
+class FinalAttention(nn.Module):
+    """Additive-attention history pooler (reference ``modeling_utils.py:175-228``).
+
+    transform: 1024 -> hidden -> hidden -> 1024 (ReLU + dropout);
+    weight head: 1024 -> hidden -> 1024 (no bias on the last layer);
+    readout: exp weights masked over history, normalized per dimension, then a
+    weighted sum — the user vector.
+    """
+
+    reduced_dim: int = REDUCED_DIM
+    hidden_dim: int = 4096
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        embeddings: jnp.ndarray,  # [B, L, D] (pre-masked gather or raw)
+        attention_mask: jnp.ndarray,  # [B, L]
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        drop = lambda x: nn.Dropout(self.dropout_rate)(  # noqa: E731
+            x, deterministic=deterministic
+        )
+        x = drop(nn.relu(nn.Dense(self.hidden_dim, name="linear1")(embeddings)))
+        x = drop(nn.relu(nn.Dense(self.hidden_dim, name="linear2")(x)))
+        x = nn.Dense(self.reduced_dim, name="linear3")(x)
+        w = drop(nn.relu(nn.Dense(self.hidden_dim, name="linear4")(x)))
+        w = nn.Dense(self.reduced_dim, use_bias=False, name="linear5")(w)
+        w = jnp.exp(w) * attention_mask[..., None].astype(w.dtype)
+        w = w / (w.sum(axis=1, keepdims=True) + 1e-10)
+        return (x * w).sum(axis=1)
+
+
+class WeightedSumModel(nn.Module):
+    """Learned alpha-blend of cosine score and classification baseline
+    (reference ``modeling_utils.py:158-165``)."""
+
+    @nn.compact
+    def __call__(self, cos_sim: jnp.ndarray, baseline: jnp.ndarray) -> jnp.ndarray:
+        alpha_param = self.param("alpha", nn.initializers.zeros, ())
+        alpha = nn.sigmoid(alpha_param)
+        return cos_sim * alpha + baseline * (1 - alpha)
+
+
+class ReducingModel(nn.Module):
+    """2-layer MLP dimension reducer (reference ``modeling_utils.py:438-446``)."""
+
+    input_dim: int = EMBEDDING_DIM
+    output_dim: int = REDUCED_DIM
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.relu(nn.Dense(self.output_dim, name="linear")(x))
+        return nn.Dense(self.output_dim, name="linear2")(x)

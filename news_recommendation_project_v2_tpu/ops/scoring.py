@@ -1,0 +1,147 @@
+"""On-device impression scoring: user-tower inference over bucketed histories and
+blocked cosine scoring of every candidate slot.
+
+This replaces the reference's most TPU-hostile pattern — a per-impression Python
+loop issuing one tiny ``F.cosine_similarity`` device call per impression
+(``/root/reference/src/news_rec_utils/data_model_helper.py:197-239``) — with two
+jitted passes:
+
+1. ``user_vectors_bucketed``: group histories by static length bucket, pad, gather
+   ``news_emb[hist_idx] * mask`` on device, run the tower batched. One compiled
+   program per (bucket, batch-shape) pair; XLA reuses them across epochs. The
+   reference instead pads each batch to its own max (``data_utils.py:784-791``),
+   recompiling shapes constantly and gathering on host.
+2. ``cosine_scores_flat``: all impressions scored in one fused gather+dot over the
+   flat candidate array — tens of device ops total instead of hundreds of
+   thousands.
+
+Cosine semantics match ``torch.nn.functional.cosine_similarity`` (eps 1e-8 clamp
+on each norm).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HISTORY_BUCKETS, bucket_for
+from ..data.grouping import lengths_to_offsets
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def cosine_scores_flat(
+    user_vecs: jnp.ndarray,  # [R, D] user vector per impression row
+    news_emb: jnp.ndarray,  # [N, D] news embedding table
+    cand_rev: jnp.ndarray,  # [C] candidate news index per flat slot
+    cand_row: jnp.ndarray,  # [C] owning impression row per flat slot
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Flat cosine scores for every candidate slot (blocked gather + dot)."""
+    u = user_vecs[cand_row]
+    c = news_emb[cand_rev]
+    dot = (u * c).sum(-1)
+    nu = jnp.maximum(jnp.linalg.norm(u, axis=-1), eps)
+    nc = jnp.maximum(jnp.linalg.norm(c, axis=-1), eps)
+    return dot / (nu * nc)
+
+
+@functools.partial(jax.jit, static_argnames=("tower_apply",))
+def _tower_batch(
+    tower_apply: Callable,
+    params,
+    news_emb: jnp.ndarray,
+    idx: jnp.ndarray,  # [B, L] history indices (0 where padded)
+    mask: jnp.ndarray,  # [B, L]
+) -> jnp.ndarray:
+    gathered = news_emb[idx] * mask[..., None].astype(news_emb.dtype)
+    return tower_apply(params, gathered, mask)
+
+
+def user_vectors_bucketed(
+    tower_apply: Callable,  # (params, [B,L,D], [B,L]) -> [B,D]
+    params,
+    news_emb: jnp.ndarray,
+    hist_rev: np.ndarray,
+    hist_lens: np.ndarray,
+    batch_size: int = 512,
+    buckets: tuple[int, ...] = HISTORY_BUCKETS,
+) -> np.ndarray:
+    """User vector per history row, batched by static length bucket.
+
+    Rows are grouped by ``bucket_for(len)``, padded to the bucket length, and run
+    in fixed-size batches (the final partial batch of each bucket is padded to
+    ``batch_size`` and the pad rows discarded) — so the jit cache holds at most
+    ``len(buckets)`` programs.
+    """
+    num_rows = len(hist_lens)
+    offsets = lengths_to_offsets(hist_lens)
+    out_dim_probe = None
+    results: Optional[np.ndarray] = None
+
+    order = np.argsort(hist_lens, kind="stable")
+    by_bucket: dict[int, list[int]] = {}
+    for row in order:
+        by_bucket.setdefault(bucket_for(int(hist_lens[row]), buckets), []).append(row)
+
+    for bucket_len, rows in by_bucket.items():
+        rows_arr = np.asarray(rows, dtype=np.int64)
+        idx_mat = np.zeros((len(rows_arr), bucket_len), dtype=np.int32)
+        mask_mat = np.zeros((len(rows_arr), bucket_len), dtype=np.float32)
+        for j, row in enumerate(rows_arr):
+            a, b = offsets[row], offsets[row + 1]
+            L = min(int(b - a), bucket_len)  # enforce the bucket cap explicitly
+            idx_mat[j, :L] = hist_rev[a : a + L]
+            mask_mat[j, :L] = 1.0
+        for start in range(0, len(rows_arr), batch_size):
+            stop = min(start + batch_size, len(rows_arr))
+            pad = batch_size - (stop - start)
+            idx_b = np.pad(idx_mat[start:stop], ((0, pad), (0, 0)))
+            mask_b = np.pad(mask_mat[start:stop], ((0, pad), (0, 0)))
+            vecs = np.asarray(
+                _tower_batch(tower_apply, params, news_emb, jnp.asarray(idx_b), jnp.asarray(mask_b))
+            )
+            if results is None:
+                out_dim_probe = vecs.shape[-1]
+                results = np.empty((num_rows, out_dim_probe), dtype=vecs.dtype)
+            results[rows_arr[start:stop]] = vecs[: stop - start]
+    assert results is not None
+    return results
+
+
+def score_all_impressions(
+    tower_apply: Callable,
+    params,
+    news_emb: jnp.ndarray,
+    hist_rev: np.ndarray,
+    hist_lens: np.ndarray,
+    cand_rev: np.ndarray,
+    cand_row: np.ndarray,
+    query_news_emb: Optional[jnp.ndarray] = None,
+    batch_size: int = 512,
+) -> np.ndarray:
+    """Full eval scoring pipeline (reference ``get_cos_sim_scores``,
+    ``data_model_helper.py:174-239``): tower over histories, cosine vs candidates.
+
+    ``cand_row`` indexes the same row space as ``hist_lens`` (i.e. the caller has
+    already restricted candidates to with-history rows, as the reference does via
+    ``history_bool.repeat`` — ``components.py:444-447``). ``query_news_emb``
+    feeds the tower a query-instruction embedding table while candidates score
+    against the passage table (``data_model_helper.py:189-196``).
+    """
+    assert len(hist_lens) == 0 or cand_row.max() < len(hist_lens)
+    table_for_history = query_news_emb if query_news_emb is not None else news_emb
+    user_vecs = user_vectors_bucketed(
+        tower_apply, params, table_for_history, hist_rev, hist_lens, batch_size
+    )
+    return np.asarray(
+        cosine_scores_flat(
+            jnp.asarray(user_vecs),
+            news_emb,
+            jnp.asarray(cand_rev),
+            jnp.asarray(cand_row),
+        )
+    )

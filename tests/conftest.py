@@ -3,15 +3,25 @@ without TPU hardware (the standard JAX fake-backend technique; SURVEY.md §4).""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment overrides the JAX_PLATFORMS env var (an `axon` TPU
+# plugin re-registers itself), so the CPU pin must go through jax.config.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert jax.device_count() == 8, jax.devices()
 
 
 @pytest.fixture
