@@ -57,6 +57,32 @@ class CompiledBehaviors:
         mask[self.hist_row_index] = True
         return mask
 
+    def with_history_view(self) -> "CompiledBehaviors":
+        """Restrict to rows that have click history, renumbering rows to the
+        subset. This is the row space every attention trainer works in
+        (reference filters with ``history_bool.repeat(imp_len_list)``,
+        ``components.py:444-447``, and asserts row-count consistency,
+        ``trainer.py:527-532``)."""
+        keep = self.hist_row_index
+        has = self.has_history
+        slot_mask = np.repeat(has, self.imp_lens)
+        return CompiledBehaviors(
+            news_ids=self.news_ids,
+            imp_rev=self.imp_rev[slot_mask],
+            imp_row=np.repeat(
+                np.arange(len(keep), dtype=np.int32), self.imp_lens[keep]
+            ),
+            imp_lens=self.imp_lens[keep],
+            hist_rev=self.hist_rev,
+            hist_row=self.hist_row,
+            hist_lens=self.hist_lens,
+            hist_row_index=np.arange(len(keep), dtype=np.int32),
+            labels_flat=(
+                self.labels_flat[slot_mask] if self.labels_flat is not None else None
+            ),
+            label_present=self.label_present,
+        )
+
     def grouped_labels(self) -> np.ndarray:
         """Per-impression label tuples (object array), as the metric suite consumes
         (reference ``evaluation.py:34-38`` over ``labels`` built at

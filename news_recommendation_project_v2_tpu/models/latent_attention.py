@@ -104,10 +104,15 @@ class LatentAttentionTower(nn.Module):
 
         if attention_mask is not None:
             m = attention_mask[..., None].astype(h.dtype)
-            pooled = (h * m).sum(axis=1) / attention_mask.sum(
-                axis=1, keepdims=True
-            ).astype(h.dtype)
+            # Denominators guarded: fully-padded rows (batch padding) would give
+            # 0/0 whose *gradient* NaN-poisons the whole batch under jax.grad
+            # even when the row is never read downstream.
+            denom = jnp.maximum(
+                attention_mask.sum(axis=1, keepdims=True).astype(h.dtype), 1.0
+            )
+            pooled = (h * m).sum(axis=1) / denom
             if self.output_normalize:
-                pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+                norm = jnp.sqrt((pooled * pooled).sum(-1, keepdims=True) + 1e-12)
+                pooled = pooled / norm
             return pooled
         return h

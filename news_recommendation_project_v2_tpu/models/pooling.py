@@ -29,7 +29,7 @@ def average_pool(hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Masked mean pooling — the e5/XLMRoberta path (reference
     ``modeling_utils.py:55-59``)."""
     m = mask[..., None].astype(hidden.dtype)
-    return (hidden * m).sum(axis=1) / m.sum(axis=1)
+    return (hidden * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
 
 
 POOLING = {

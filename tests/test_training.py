@@ -1,0 +1,140 @@
+"""Training-engine tests on the learnable synthetic fixture: loss decreases, val
+AUC beats chance, checkpoints and logs are written, loss masking is exact."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_recommendation_project_v2_tpu.config import TowerConfig, TrainConfig
+from news_recommendation_project_v2_tpu.data import compile_behaviors
+from news_recommendation_project_v2_tpu.data.synthetic import (
+    align_embeddings,
+    synthetic_learnable_behaviors,
+)
+from news_recommendation_project_v2_tpu.models import ClassificationHead, build_tower
+from news_recommendation_project_v2_tpu.train import (
+    ClassificationTrainer,
+    TowerTrainer,
+    infonce_loss,
+    margin_ranking_loss,
+)
+from news_recommendation_project_v2_tpu.train.checkpoint import load_pytree
+
+D = 32
+
+
+@pytest.fixture(scope="module")
+def learnable():
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=120, num_rows=160, dim=D, noise=0.05
+    )
+    c = compile_behaviors(imps, hist).with_history_view()
+    emb_aligned = jnp.asarray(align_embeddings(c.news_ids, emb))
+    return c, emb_aligned
+
+
+def test_margin_loss_values():
+    pos = jnp.array([1.0, 0.0])
+    neg = jnp.array([0.0, 1.0])
+    # max(0, -(p-n)+2): [1, 3] -> mean 2
+    assert float(margin_ranking_loss(pos, neg, 2.0)) == pytest.approx(2.0)
+    # Masking drops the second pair.
+    assert float(
+        margin_ranking_loss(pos, neg, 2.0, jnp.array([1.0, 0.0]))
+    ) == pytest.approx(1.0)
+
+
+def test_infonce_loss_masking():
+    pos = jnp.array([2.0])
+    negs = jnp.array([[1.0, -1e9]])
+    valid = jnp.array([[1.0, 0.0]])
+    got = float(infonce_loss(pos, negs, valid))
+    expected = -np.log(np.exp(2.0) / (np.exp(2.0) + np.exp(1.0)))
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_tower_trainer_learns(learnable, tmp_path):
+    c, emb = learnable
+    cfg = TrainConfig(
+        learning_rate=3e-4, num_epochs=3, batch_size=64, margin=2.0, seed=0
+    )
+    tower = build_tower(
+        TowerConfig(kind="latent", reduced_dim=D, num_latents=8, latent_dim_head=16)
+    )
+    params = jax.jit(
+        lambda: tower.init(
+            jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
+        )
+    )()
+    trainer = TowerTrainer(
+        tower.apply,
+        params,
+        c,
+        emb,
+        compiled_val=c,
+        news_emb_val=emb,
+        cfg=cfg,
+        log_dir=tmp_path / "logs",
+        ckpt_dir=tmp_path / "ckpt",
+        exp_name="test",
+    )
+    history = trainer.train()
+    losses = [h["loss"] for h in history]
+    assert losses[-1] < losses[0], losses
+    assert history[-1]["val"]["auc"] > 0.6, history[-1]["val"]
+    # Logs + checkpoints exist.
+    assert (tmp_path / "logs" / "train_final_history_score.jsonl").exists()
+    assert (tmp_path / "logs" / "eval_final_history_score.jsonl").exists()
+    assert (tmp_path / "ckpt" / "Epoch_1").exists()
+    assert trainer.best.best_path is not None
+    restored = load_pytree(trainer.best.best_path, like=trainer.params)
+    leaves_a = jax.tree.leaves(restored)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves_a)
+
+
+def test_classification_trainer_runs(learnable, tmp_path):
+    c, emb = learnable
+    cfg = TrainConfig(learning_rate=1e-3, num_epochs=2, batch_size=128, seed=0)
+    head = ClassificationHead(in_dim=D, hidden_dim=D)
+    params = jax.jit(
+        lambda: head.init(jax.random.key(0), jnp.zeros((1, D)))
+    )()
+    trainer = ClassificationTrainer(
+        head.apply,
+        params,
+        c,
+        emb,
+        compiled_val=c,
+        news_emb_val=emb,
+        cfg=cfg,
+        log_dir=tmp_path / "logs",
+        ckpt_dir=tmp_path / "ckpt",
+        exp_name="cls",
+    )
+    history = trainer.train()
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"])
+    # Content-only scoring on this fixture carries no user signal; just check
+    # the metric pipe produced sane values.
+    assert 0.0 <= history[-1]["val"]["auc"] <= 1.0
+
+
+def test_epoch_resampling_changes_pairs(learnable):
+    c, emb = learnable
+    cfg = TrainConfig(num_epochs=1, batch_size=32, seed=3)
+    tower = build_tower(
+        TowerConfig(kind="final_attention", reduced_dim=D, hidden_dim=D * 2)
+    )
+    params = jax.jit(
+        lambda: tower.init(
+            jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
+        )
+    )()
+    trainer = TowerTrainer(tower.apply, params, c, emb, cfg=cfg)
+    b1 = [b[3].copy() for b in trainer._epoch_batches()]
+    b2 = [b[3].copy() for b in trainer._epoch_batches()]
+    assert not all(np.array_equal(x, y) for x, y in zip(b1, b2))
+    # Static shapes: every batch has identical (B, L-bucket) shapes per bucket.
+    shapes = {b[0].shape[0] for b in trainer._epoch_batches()}
+    assert shapes == {32}
