@@ -1,0 +1,221 @@
+"""Headline benchmark: impressions/second at eval scoring (BASELINE.json north
+star) on a MIND-small-scale synthetic workload.
+
+Measured pipeline (ours, on the available accelerator): full-size latent-attention
+user tower over length-bucketed histories + one fused gather+dot cosine pass over
+every candidate slot (``ops.scoring``).
+
+Baseline (reference algorithm on the same host): the per-impression scoring loop
+of ``data_model_helper.py:174-239`` — torch tower forward over pad-to-batch-max
+history batches, then one ``F.cosine_similarity`` call per impression — measured
+on a subsample and extrapolated. The reference never measured throughput
+(SURVEY.md §6); this self-established baseline is its algorithm run on this
+machine's hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+# ----------------------------------------------------------------------------
+# Workload: MIND-small-scale synthetic eval scoring.
+# ----------------------------------------------------------------------------
+
+NUM_NEWS = 65_238  # MIND-small news count
+NUM_ROWS = 50_000  # with-history impression rows scored
+DIM = 1024
+MEAN_HIST = 33
+MEAN_CANDS = 37
+SEED = 0
+
+
+def build_workload(rng):
+    hist_lens = np.minimum(
+        rng.geometric(1.0 / MEAN_HIST, size=NUM_ROWS), 600
+    ).astype(np.int32)
+    imp_lens = np.clip(
+        rng.poisson(MEAN_CANDS, size=NUM_ROWS), 2, 300
+    ).astype(np.int32)
+    hist_rev = rng.integers(0, NUM_NEWS, size=int(hist_lens.sum())).astype(np.int32)
+    cand_rev = rng.integers(0, NUM_NEWS, size=int(imp_lens.sum())).astype(np.int32)
+    cand_row = np.repeat(np.arange(NUM_ROWS, dtype=np.int32), imp_lens)
+    emb = rng.standard_normal((NUM_NEWS, DIM)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    return hist_lens, imp_lens, hist_rev, cand_rev, cand_row, emb
+
+
+# ----------------------------------------------------------------------------
+# Ours: jitted bucketed tower + fused cosine scoring.
+# ----------------------------------------------------------------------------
+
+
+def bench_ours(hist_lens, hist_rev, cand_rev, cand_row, emb):
+    import jax
+    import jax.numpy as jnp
+
+    from news_recommendation_project_v2_tpu.config import TowerConfig
+    from news_recommendation_project_v2_tpu.models import build_tower
+    from news_recommendation_project_v2_tpu.ops import score_all_impressions
+
+    log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
+    tower = build_tower(TowerConfig(kind="latent"))
+    params = jax.jit(
+        lambda: tower.init(
+            jax.random.key(0), jnp.zeros((1, 16, DIM)), jnp.ones((1, 16))
+        )
+    )()
+    emb_dev = jax.device_put(jnp.asarray(emb))
+    apply = lambda p, e, m: tower.apply(p, e, m)  # noqa: E731
+
+    def run():
+        return score_all_impressions(
+            apply,
+            params,
+            emb_dev,
+            hist_rev,
+            hist_lens,
+            cand_rev,
+            cand_row,
+            batch_size=1024,
+            tokens_per_batch=32768,
+        )
+
+    log("warmup (compiles one program per history bucket)...")
+    t0 = time.perf_counter()
+    scores = run()
+    log(f"warmup took {time.perf_counter() - t0:.1f}s; {len(scores)} slots scored")
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        scores = run()
+        times.append(time.perf_counter() - t0)
+        log(f"run {i}: {times[-1]:.3f}s")
+    best = min(times)
+    assert np.isfinite(scores).all()
+    return NUM_ROWS / best, best
+
+
+# ----------------------------------------------------------------------------
+# Baseline: reference-style torch per-impression loop (subsampled).
+# ----------------------------------------------------------------------------
+
+
+def bench_reference_style(hist_lens, imp_lens, hist_rev, cand_rev, cand_row, emb):
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+
+    class TorchLatentTower(torch.nn.Module):
+        """Reference latent_attention.py:77-171 behavior (torch, CPU)."""
+
+        def __init__(self, dim=DIM, num_latents=64, heads=8, dim_head=512):
+            super().__init__()
+            inner = heads * dim_head
+            self.heads = heads
+            self.scale = dim_head**-0.5
+            self.norm_x = torch.nn.LayerNorm(dim)
+            self.norm_ctx = torch.nn.LayerNorm(dim)
+            self.to_q = torch.nn.Linear(dim, inner, bias=False)
+            self.to_kv = torch.nn.Linear(dim, inner * 2, bias=False)
+            self.to_out = torch.nn.Linear(inner, dim, bias=False)
+            self.ff_norm = torch.nn.LayerNorm(dim)
+            self.ff1 = torch.nn.Linear(dim, dim * 8)
+            self.ff2 = torch.nn.Linear(dim * 4, dim)
+            self.latents = torch.nn.Parameter(torch.randn(num_latents, dim))
+
+        def forward(self, x, mask):
+            b = x.shape[0]
+            ctx = self.norm_ctx(self.latents).expand(b, -1, -1)
+            q = self.to_q(self.norm_x(x))
+            k, v = self.to_kv(ctx).chunk(2, dim=-1)
+
+            def split(t):
+                return t.view(b, t.shape[1], self.heads, -1).transpose(1, 2)
+
+            attn = torch.softmax(
+                split(q) @ split(k).transpose(-1, -2) * self.scale, dim=-1
+            )
+            out = (attn @ split(v)).transpose(1, 2).reshape(b, x.shape[1], -1)
+            x = self.to_out(out) + x
+            h = self.ff1(self.ff_norm(x))
+            h, gates = h.chunk(2, dim=-1)
+            x = self.ff2(h * F.gelu(gates)) + x
+            m = mask.unsqueeze(-1)
+            pooled = (x * m).sum(1) / mask.sum(1, keepdim=True)
+            return F.normalize(pooled, p=2, dim=-1)
+
+    sample_rows = 300
+    tower = TorchLatentTower().eval()
+    emb_t = torch.from_numpy(emb)
+    hist_offsets = np.concatenate([[0], np.cumsum(hist_lens)])
+    cand_offsets = np.concatenate([[0], np.cumsum(imp_lens)])
+
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        # Tower forward over pad-to-batch-max batches (reference
+        # data_utils.py:784-791, batch via get_attention_inference_batch_size).
+        B = 64
+        users = []
+        for s in range(0, sample_rows, B):
+            rows = range(s, min(s + B, sample_rows))
+            hs = [
+                emb_t[hist_rev[hist_offsets[r] : hist_offsets[r + 1]]] for r in rows
+            ]
+            L = max(h.shape[0] for h in hs)
+            batch = torch.zeros(len(hs), L, DIM)
+            mask = torch.zeros(len(hs), L)
+            for j, h in enumerate(hs):
+                batch[j, : h.shape[0]] = h
+                mask[j, : h.shape[0]] = 1.0
+            users.append(tower(batch, mask))
+        users = torch.cat(users)
+        # Per-impression cosine loop (reference data_model_helper.py:197-239).
+        outs = []
+        for r in range(sample_rows):
+            cands = emb_t[cand_rev[cand_offsets[r] : cand_offsets[r + 1]]]
+            outs.append(F.cosine_similarity(users[r].unsqueeze(0), cands))
+    elapsed = time.perf_counter() - t0
+    log(f"reference-style loop: {sample_rows} rows in {elapsed:.1f}s")
+    return sample_rows / elapsed
+
+
+def main():
+    rng = np.random.default_rng(SEED)
+    hist_lens, imp_lens, hist_rev, cand_rev, cand_row, emb = build_workload(rng)
+    log(
+        f"workload: {NUM_ROWS} impressions, {NUM_NEWS} news, "
+        f"{len(cand_rev)} candidate slots, {len(hist_rev)} history slots"
+    )
+    ours_ips, ours_time = bench_ours(hist_lens, hist_rev, cand_rev, cand_row, emb)
+    log(f"ours: {ours_ips:,.0f} impressions/s ({ours_time:.3f}s for {NUM_ROWS})")
+    base_ips = bench_reference_style(
+        hist_lens, imp_lens, hist_rev, cand_rev, cand_row, emb
+    )
+    log(f"reference-style baseline: {base_ips:,.0f} impressions/s")
+    print(
+        json.dumps(
+            {
+                "metric": "eval_scoring_impressions_per_s",
+                "value": round(ours_ips, 1),
+                "unit": "impressions/s",
+                "vs_baseline": round(ours_ips / base_ips, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

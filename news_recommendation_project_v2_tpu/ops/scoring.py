@@ -69,13 +69,20 @@ def user_vectors_bucketed(
     hist_lens: np.ndarray,
     batch_size: int = 512,
     buckets: tuple[int, ...] = HISTORY_BUCKETS,
+    tokens_per_batch: Optional[int] = None,
 ) -> np.ndarray:
     """User vector per history row, batched by static length bucket.
 
     Rows are grouped by ``bucket_for(len)``, padded to the bucket length, and run
     in fixed-size batches (the final partial batch of each bucket is padded to
-    ``batch_size`` and the pad rows discarded) — so the jit cache holds at most
+    the batch size and the pad rows discarded) — so the jit cache holds at most
     ``len(buckets)`` programs.
+
+    ``tokens_per_batch`` caps ``batch * bucket_len`` per call, shrinking the
+    batch for long buckets. This is the *analytic* replacement for the
+    reference's OOM-bisection batch autotuner (``batch_size_finder.py:103-149``):
+    activation memory scales with tokens x ffn-width, so a token budget bounds
+    HBM without trial-and-error.
     """
     num_rows = len(hist_lens)
     offsets = lengths_to_offsets(hist_lens)
@@ -96,9 +103,14 @@ def user_vectors_bucketed(
             L = min(int(b - a), bucket_len)  # enforce the bucket cap explicitly
             idx_mat[j, :L] = hist_rev[a : a + L]
             mask_mat[j, :L] = 1.0
-        for start in range(0, len(rows_arr), batch_size):
-            stop = min(start + batch_size, len(rows_arr))
-            pad = batch_size - (stop - start)
+        if tokens_per_batch is not None:
+            bucket_batch = max(8, min(batch_size, tokens_per_batch // bucket_len))
+            bucket_batch = max(8, (bucket_batch // 8) * 8)
+        else:
+            bucket_batch = batch_size
+        for start in range(0, len(rows_arr), bucket_batch):
+            stop = min(start + bucket_batch, len(rows_arr))
+            pad = bucket_batch - (stop - start)
             idx_b = np.pad(idx_mat[start:stop], ((0, pad), (0, 0)))
             mask_b = np.pad(mask_mat[start:stop], ((0, pad), (0, 0)))
             vecs = np.asarray(
@@ -122,6 +134,7 @@ def score_all_impressions(
     cand_row: np.ndarray,
     query_news_emb: Optional[jnp.ndarray] = None,
     batch_size: int = 512,
+    tokens_per_batch: Optional[int] = None,
 ) -> np.ndarray:
     """Full eval scoring pipeline (reference ``get_cos_sim_scores``,
     ``data_model_helper.py:174-239``): tower over histories, cosine vs candidates.
@@ -135,7 +148,13 @@ def score_all_impressions(
     assert len(hist_lens) == 0 or cand_row.max() < len(hist_lens)
     table_for_history = query_news_emb if query_news_emb is not None else news_emb
     user_vecs = user_vectors_bucketed(
-        tower_apply, params, table_for_history, hist_rev, hist_lens, batch_size
+        tower_apply,
+        params,
+        table_for_history,
+        hist_rev,
+        hist_lens,
+        batch_size,
+        tokens_per_batch=tokens_per_batch,
     )
     return np.asarray(
         cosine_scores_flat(

@@ -1,0 +1,17 @@
+from .mesh import build_mesh
+from .sharding import (
+    batch_sharding,
+    make_sharded_tower_train_step,
+    replicated,
+    shard_news_table,
+    table_sharding,
+)
+
+__all__ = [
+    "batch_sharding",
+    "build_mesh",
+    "make_sharded_tower_train_step",
+    "replicated",
+    "shard_news_table",
+    "table_sharding",
+]

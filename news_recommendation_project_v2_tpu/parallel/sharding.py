@@ -1,0 +1,108 @@
+"""Sharding specs and the sharded training step.
+
+Design (scaling-book recipe: pick a mesh, annotate shardings, let XLA insert the
+collectives):
+
+- **News-embedding table**: row-sharded over the ``model`` axis
+  (``P("model", None)``). History/candidate gathers against it become XLA
+  all-gather/all-to-all exchanges over ICI — replacing the reference's host-RAM
+  fancy-index (``trainer.py:580-582``, ``data_utils.py:784-791``).
+- **Batches**: sharded over ``data`` (DP). Params/opt-state replicated; with
+  data-sharded inputs and replicated params, XLA emits the psum gradient
+  reduction automatically inside the jitted step.
+- The step function itself is the same pure function the single-chip trainer
+  uses (``train.step.make_tower_train_step``) — only in/out shardings differ.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def table_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-shard a [N, D] embedding table over the model axis."""
+    return NamedSharding(mesh, P("model", None))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_news_table(mesh: Mesh, table: jnp.ndarray) -> jax.Array:
+    """Place a news-embedding table row-sharded on the mesh (pads rows to a
+    multiple of the model-axis size so every shard is equal)."""
+    model_size = mesh.shape["model"]
+    n = table.shape[0]
+    pad = (-n) % model_size
+    if pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad, table.shape[1]), table.dtype)], axis=0
+        )
+    return jax.device_put(table, table_sharding(mesh))
+
+
+def make_sharded_tower_train_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    donate: bool = True,
+) -> Callable:
+    """Wrap a pure tower train step with mesh shardings.
+
+    Argument order of ``step_fn`` (see ``make_tower_train_step``):
+    (params, opt_state, news_emb, query_emb, hist_idx, hist_mask, hist_rev,
+    pos_idx, neg_idx, pair_mask, dropout_key).
+
+    - params / opt_state / dropout_key: replicated
+    - news_emb / query_emb: row-sharded over ``model``
+    - hist_idx / hist_mask: unique-history rows sharded over ``data``
+    - hist_rev / pos / neg / pair_mask: pair rows sharded over ``data``
+    """
+    rep = replicated(mesh)
+    tab = table_sharding(mesh)
+    dat = batch_sharding(mesh)
+    dat2 = NamedSharding(mesh, P("data", None))
+    in_shardings = (rep, rep, tab, tab, dat2, dat2, dat, dat, dat, dat, rep)
+    out_shardings = (rep, rep, rep)
+    return jax.jit(
+        step_fn,
+        in_shardings=in_shardings,
+        out_shardings=out_shardings,
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
+def make_sharded_scoring_fn(mesh: Mesh, tower_apply: Callable) -> Callable:
+    """Jitted eval scoring over the mesh: tower forward on data-sharded history
+    batches against the model-sharded table, then flat cosine scores for
+    data-sharded candidate slots (replaces ``ops.scoring`` single-device path
+    on pods)."""
+    rep = replicated(mesh)
+    tab = table_sharding(mesh)
+    dat = batch_sharding(mesh)
+    dat2 = NamedSharding(mesh, P("data", None))
+
+    def fn(params, news_emb, hist_idx, hist_mask, cand_rev, cand_row):
+        gathered = news_emb[hist_idx] * hist_mask[..., None].astype(news_emb.dtype)
+        user = tower_apply(params, gathered, hist_mask)
+        u = user[cand_row]
+        c = news_emb[cand_rev]
+        eps = 1e-8
+        nu = jnp.maximum(jnp.linalg.norm(u, axis=-1), eps)
+        nc = jnp.maximum(jnp.linalg.norm(c, axis=-1), eps)
+        return (u * c).sum(-1) / (nu * nc)
+
+    return jax.jit(
+        fn,
+        in_shardings=(rep, tab, dat2, dat2, dat, dat),
+        out_shardings=dat,
+    )

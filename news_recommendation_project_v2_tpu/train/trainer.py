@@ -39,7 +39,7 @@ from ..data.sampling import batch_aligned_permutation, sample_pos_neg_pairs
 from ..eval.ranker import compose_final_scores, history_candidate_slots
 from ..ops.scoring import score_all_impressions
 from .checkpoint import BestTracker
-from .losses import margin_ranking_loss
+from .step import make_classification_train_step, make_tower_train_step
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -127,52 +127,10 @@ class TowerTrainer:
         # across evaluate() calls.
         self._eval_apply = lambda p, e, m: tower_apply(p, e, m)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def _train_step(
-            params,
-            opt_state,
-            news_emb,
-            query_emb,
-            hist_idx,  # [U, L]
-            hist_mask,  # [U, L]
-            hist_rev,  # [B] row -> unique-history index
-            pos_idx,  # [B]
-            neg_idx,  # [B]
-            pair_mask,  # [B]
-            dropout_key,
-        ):
-            def loss_fn(p):
-                gathered = query_emb[hist_idx] * hist_mask[..., None].astype(
-                    query_emb.dtype
-                )
-                user = self.tower_apply(
-                    p,
-                    gathered,
-                    hist_mask,
-                    deterministic=False,
-                    rngs={"dropout": dropout_key},
-                )
-                u = user[hist_rev]
-                pe = news_emb[pos_idx]
-                ne = news_emb[neg_idx]
-                # Norms via sqrt(|x|^2 + eps^2): jnp.linalg.norm has an infinite
-                # gradient at 0 which NaN-poisons grads through padded pairs.
-                eps2 = 1e-16
-                un = jnp.sqrt((u * u).sum(-1) + eps2)
-                cos_p = (u * pe).sum(-1) / (
-                    un * jnp.sqrt((pe * pe).sum(-1) + eps2)
-                )
-                cos_n = (u * ne).sum(-1) / (
-                    un * jnp.sqrt((ne * ne).sum(-1) + eps2)
-                )
-                return margin_ranking_loss(cos_p, cos_n, cfg.margin, pair_mask)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            return new_params, new_opt_state, loss
-
-        self._train_step = _train_step
+        self._train_step = jax.jit(
+            make_tower_train_step(tower_apply, self.optimizer, cfg.margin),
+            donate_argnums=(0, 1),
+        )
 
     # ------------------------------------------------------------------
     # Host input pipeline
@@ -338,20 +296,10 @@ class ClassificationTrainer:
         self.best = BestTracker(ckpt_dir, exp_name)
         self.history: list[dict] = []
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def _train_step(params, opt_state, news_emb, pos_idx, neg_idx, pair_mask):
-            def loss_fn(p):
-                pos_scores = self.head_apply(p, news_emb[pos_idx])[:, 0]
-                neg_scores = self.head_apply(p, news_emb[neg_idx])[:, 0]
-                return margin_ranking_loss(
-                    pos_scores, neg_scores, cfg.margin, pair_mask
-                )
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_opt_state, loss
-
-        self._train_step = _train_step
+        self._train_step = jax.jit(
+            make_classification_train_step(head_apply, self.optimizer, cfg.margin),
+            donate_argnums=(0, 1),
+        )
 
         @functools.partial(jax.jit)
         def _predict(params, news_emb):
