@@ -3,17 +3,24 @@ blocked cosine scoring of every candidate slot.
 
 This replaces the reference's most TPU-hostile pattern — a per-impression Python
 loop issuing one tiny ``F.cosine_similarity`` device call per impression
-(``/root/reference/src/news_rec_utils/data_model_helper.py:197-239``) — with two
-jitted passes:
+(``/root/reference/src/news_rec_utils/data_model_helper.py:197-239``) — with a
+device-resident pipeline tuned for high-latency links between host and device:
 
-1. ``user_vectors_bucketed``: group histories by static length bucket, pad, gather
-   ``news_emb[hist_idx] * mask`` on device, run the tower batched. One compiled
-   program per (bucket, batch-shape) pair; XLA reuses them across epochs. The
-   reference instead pads each batch to its own max (``data_utils.py:784-791``),
-   recompiling shapes constantly and gathering on host.
-2. ``cosine_scores_flat``: all impressions scored in one fused gather+dot over the
-   flat candidate array — tens of device ops total instead of hundreds of
-   thousands.
+1. One jitted call **per history bucket** (not per batch): the call receives the
+   flat history index array plus per-row (start, length) and builds the padded
+   gather + mask on device, then ``lax.scan``s the tower over fixed-size batches.
+   Host->device traffic is two int32 vectors per bucket; the jit cache holds one
+   program per bucket.
+2. User vectors are scattered into a device-resident [rows, D] buffer (donated
+   across bucket calls) and **never leave the device**; the final cosine pass
+   reads them directly and only the flat candidate scores are fetched.
+3. An analytic ``tokens_per_batch`` budget bounds activation memory — the
+   TPU-native replacement for the reference's OOM-bisection batch autotuner
+   (``batch_size_finder.py:103-149``).
+
+The reference instead pads each batch to its own max on host, gathers
+``news_embeddings[indices]`` on host, and round-trips every batch
+(``data_utils.py:784-791``, ``modeling_utils.py:402-417``).
 
 Cosine semantics match ``torch.nn.functional.cosine_similarity`` (eps 1e-8 clamp
 on each norm).
@@ -28,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import HISTORY_BUCKETS, bucket_for
+from ..config import HISTORY_BUCKETS
 from ..data.grouping import lengths_to_offsets
 
 
@@ -49,20 +56,129 @@ def cosine_scores_flat(
     return dot / (nu * nc)
 
 
-@functools.partial(jax.jit, static_argnames=("tower_apply",))
-def _tower_batch(
+@functools.partial(
+    jax.jit,
+    static_argnames=("tower_apply", "batch", "bucket_len"),
+    donate_argnums=(0,),
+)
+def _bucket_update(
+    user_vecs,  # [R, D] accumulator (donated)
+    params,
+    news_emb,  # [N, D]
+    hist_rev_flat,  # [H] flat history indices (device-resident)
+    starts,  # [n_pad] per-row start offset into hist_rev_flat
+    lens,  # [n_pad] per-row (bucket-capped) length
+    rows,  # [n_pad] destination row ids (R = drop)
+    tower_apply: Callable,
+    batch: int,
+    bucket_len: int,
+):
+    """Run the tower over one bucket's rows (scanned in fixed batches) and
+    scatter the resulting user vectors into the accumulator."""
+    n_pad = starts.shape[0]
+    num_batches = n_pad // batch
+    pos = jax.lax.broadcasted_iota(jnp.int32, (batch, bucket_len), 1)
+    limit = hist_rev_flat.shape[0] - 1
+
+    def body(_, start_len):
+        s, l = start_len
+        gather_pos = jnp.minimum(s[:, None] + pos, limit)
+        idx = hist_rev_flat[gather_pos]
+        mask = (pos < l[:, None]).astype(news_emb.dtype)
+        gathered = news_emb[idx] * mask[..., None]
+        return None, tower_apply(params, gathered, mask)
+
+    _, outs = jax.lax.scan(
+        body,
+        None,
+        (
+            starts.reshape(num_batches, batch),
+            lens.reshape(num_batches, batch),
+        ),
+    )
+    outs = outs.reshape(n_pad, -1).astype(user_vecs.dtype)
+    return user_vecs.at[rows].set(outs, mode="drop")
+
+
+def _probe_out(tower_apply: Callable, params, table: jnp.ndarray):
+    """Tower output shape/dtype via jax.eval_shape (no compute, no transfer)."""
+    return jax.eval_shape(
+        tower_apply,
+        params,
+        jax.ShapeDtypeStruct((1, 8, table.shape[1]), table.dtype),
+        jax.ShapeDtypeStruct((1, 8), table.dtype),
+    )
+
+
+def _bucket_plan(
+    hist_lens: np.ndarray,
+    buckets: tuple[int, ...],
+    batch_size: int,
+    tokens_per_batch: Optional[int],
+):
+    """Host-side plan: per bucket, the (rows, starts, lens, batch) arrays padded
+    to a whole number of batches."""
+    offsets = lengths_to_offsets(hist_lens)
+    bucket_arr = np.asarray(buckets)
+    bucket_ids = np.searchsorted(bucket_arr, np.minimum(hist_lens, bucket_arr[-1]))
+    plan = []
+    for bid in np.unique(bucket_ids):
+        bucket_len = int(bucket_arr[bid])
+        rows = np.flatnonzero(bucket_ids == bid).astype(np.int32)
+        if tokens_per_batch is not None:
+            batch = max(8, min(batch_size, tokens_per_batch // bucket_len))
+            batch = max(8, (batch // 8) * 8)
+        else:
+            batch = batch_size
+        n_pad = -(-len(rows) // batch) * batch
+        pad = n_pad - len(rows)
+        starts = np.pad(offsets[rows].astype(np.int32), (0, pad))
+        lens = np.pad(
+            np.minimum(hist_lens[rows], bucket_len).astype(np.int32), (0, pad)
+        )
+        rows_padded = np.pad(
+            rows, (0, pad), constant_values=len(hist_lens)  # OOB -> dropped
+        )
+        plan.append((bucket_len, batch, starts, lens, rows_padded))
+    return plan
+
+
+def user_vectors_device(
     tower_apply: Callable,
     params,
     news_emb: jnp.ndarray,
-    idx: jnp.ndarray,  # [B, L] history indices (0 where padded)
-    mask: jnp.ndarray,  # [B, L]
-) -> jnp.ndarray:
-    gathered = news_emb[idx] * mask[..., None].astype(news_emb.dtype)
-    return tower_apply(params, gathered, mask)
+    hist_rev: np.ndarray,
+    hist_lens: np.ndarray,
+    out_dim: int,
+    batch_size: int = 512,
+    buckets: tuple[int, ...] = HISTORY_BUCKETS,
+    tokens_per_batch: Optional[int] = None,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Device-resident [num_rows, out_dim] user-vector matrix (see module doc)."""
+    num_rows = len(hist_lens)
+    hist_rev_dev = jnp.asarray(hist_rev)
+    user_vecs = jnp.zeros((num_rows, out_dim), dtype=out_dtype)
+    for bucket_len, batch, starts, lens, rows in _bucket_plan(
+        hist_lens, buckets, batch_size, tokens_per_batch
+    ):
+        user_vecs = _bucket_update(
+            user_vecs,
+            params,
+            news_emb,
+            hist_rev_dev,
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(rows),
+            tower_apply=tower_apply,
+            batch=batch,
+            bucket_len=bucket_len,
+        )
+    return user_vecs
 
 
 def user_vectors_bucketed(
-    tower_apply: Callable,  # (params, [B,L,D], [B,L]) -> [B,D]
+    tower_apply: Callable,
     params,
     news_emb: jnp.ndarray,
     hist_rev: np.ndarray,
@@ -71,57 +187,21 @@ def user_vectors_bucketed(
     buckets: tuple[int, ...] = HISTORY_BUCKETS,
     tokens_per_batch: Optional[int] = None,
 ) -> np.ndarray:
-    """User vector per history row, batched by static length bucket.
-
-    Rows are grouped by ``bucket_for(len)``, padded to the bucket length, and run
-    in fixed-size batches (the final partial batch of each bucket is padded to
-    the batch size and the pad rows discarded) — so the jit cache holds at most
-    ``len(buckets)`` programs.
-
-    ``tokens_per_batch`` caps ``batch * bucket_len`` per call, shrinking the
-    batch for long buckets. This is the *analytic* replacement for the
-    reference's OOM-bisection batch autotuner (``batch_size_finder.py:103-149``):
-    activation memory scales with tokens x ffn-width, so a token budget bounds
-    HBM without trial-and-error.
-    """
-    num_rows = len(hist_lens)
-    offsets = lengths_to_offsets(hist_lens)
-    out_dim_probe = None
-    results: Optional[np.ndarray] = None
-
-    order = np.argsort(hist_lens, kind="stable")
-    by_bucket: dict[int, list[int]] = {}
-    for row in order:
-        by_bucket.setdefault(bucket_for(int(hist_lens[row]), buckets), []).append(row)
-
-    for bucket_len, rows in by_bucket.items():
-        rows_arr = np.asarray(rows, dtype=np.int64)
-        idx_mat = np.zeros((len(rows_arr), bucket_len), dtype=np.int32)
-        mask_mat = np.zeros((len(rows_arr), bucket_len), dtype=np.float32)
-        for j, row in enumerate(rows_arr):
-            a, b = offsets[row], offsets[row + 1]
-            L = min(int(b - a), bucket_len)  # enforce the bucket cap explicitly
-            idx_mat[j, :L] = hist_rev[a : a + L]
-            mask_mat[j, :L] = 1.0
-        if tokens_per_batch is not None:
-            bucket_batch = max(8, min(batch_size, tokens_per_batch // bucket_len))
-            bucket_batch = max(8, (bucket_batch // 8) * 8)
-        else:
-            bucket_batch = batch_size
-        for start in range(0, len(rows_arr), bucket_batch):
-            stop = min(start + bucket_batch, len(rows_arr))
-            pad = bucket_batch - (stop - start)
-            idx_b = np.pad(idx_mat[start:stop], ((0, pad), (0, 0)))
-            mask_b = np.pad(mask_mat[start:stop], ((0, pad), (0, 0)))
-            vecs = np.asarray(
-                _tower_batch(tower_apply, params, news_emb, jnp.asarray(idx_b), jnp.asarray(mask_b))
-            )
-            if results is None:
-                out_dim_probe = vecs.shape[-1]
-                results = np.empty((num_rows, out_dim_probe), dtype=vecs.dtype)
-            results[rows_arr[start:stop]] = vecs[: stop - start]
-    assert results is not None
-    return results
+    """Host-array convenience wrapper around ``user_vectors_device``."""
+    probe = _probe_out(tower_apply, params, news_emb)
+    vecs = user_vectors_device(
+        tower_apply,
+        params,
+        news_emb,
+        hist_rev,
+        hist_lens,
+        out_dim=int(probe.shape[-1]),
+        batch_size=batch_size,
+        buckets=buckets,
+        tokens_per_batch=tokens_per_batch,
+        out_dtype=probe.dtype,
+    )
+    return np.asarray(vecs)
 
 
 def score_all_impressions(
@@ -135,6 +215,7 @@ def score_all_impressions(
     query_news_emb: Optional[jnp.ndarray] = None,
     batch_size: int = 512,
     tokens_per_batch: Optional[int] = None,
+    buckets: tuple[int, ...] = HISTORY_BUCKETS,
 ) -> np.ndarray:
     """Full eval scoring pipeline (reference ``get_cos_sim_scores``,
     ``data_model_helper.py:174-239``): tower over histories, cosine vs candidates.
@@ -147,18 +228,22 @@ def score_all_impressions(
     """
     assert len(hist_lens) == 0 or cand_row.max() < len(hist_lens)
     table_for_history = query_news_emb if query_news_emb is not None else news_emb
-    user_vecs = user_vectors_bucketed(
+    probe = _probe_out(tower_apply, params, table_for_history)
+    user_vecs = user_vectors_device(
         tower_apply,
         params,
         table_for_history,
         hist_rev,
         hist_lens,
-        batch_size,
+        out_dim=int(probe.shape[-1]),
+        batch_size=batch_size,
+        buckets=buckets,
         tokens_per_batch=tokens_per_batch,
+        out_dtype=jnp.float32,
     )
     return np.asarray(
         cosine_scores_flat(
-            jnp.asarray(user_vecs),
+            user_vecs,
             news_emb,
             jnp.asarray(cand_rev),
             jnp.asarray(cand_row),
