@@ -1,0 +1,201 @@
+"""Batched tokenize -> encode -> embed-to-HBM pipeline and the token-state store.
+
+Capability parity with the reference embedding precompute (call stack §3.3:
+``get_embeddings`` -> ``get_embed_from_model`` -> ``get_text_embed_eval``,
+``data_model_helper.py:45-84``, ``modeling_utils.py:282-323``) and the per-token
+SQLite store (``modeling_utils.py:456-495``, ``data_utils.py:878-890``):
+
+- ``encode_corpus``: one scanned device program per batch shape; embeddings stay
+  in HBM (returned as a device array), with the e5 query/passage instruction
+  duality handled by encoding the corpus once per instruction prefix.
+- ``save/load_embeddings``: the ``save_emb`` dump (``components.py:178-258``),
+  as ``.npy`` files.
+- ``TokenStore``: mask-trimmed per-news token states packed into one flat
+  [total_tokens, D] array + offsets (replacing torch-pickle BLOBs in SQLite);
+  batched padded readback feeds the token-attention news encoder and the
+  end-to-end trainer (``trainer.py:952-1206``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("encoder_apply", "batch"))
+def _encode_scan(encoder_apply: Callable, params, ids, mask, batch: int):
+    n = ids.shape[0]
+    num_batches = n // batch
+
+    def body(_, im):
+        i, m = im
+        return None, encoder_apply(params, i, m)
+
+    _, out = jax.lax.scan(
+        body,
+        None,
+        (
+            ids.reshape(num_batches, batch, -1),
+            mask.reshape(num_batches, batch, -1),
+        ),
+    )
+    return out.reshape(n, -1)
+
+
+def encode_corpus(
+    encoder_apply: Callable,  # (params, ids [B,T], mask [B,T]) -> [B,D]
+    params,
+    token_ids: np.ndarray,  # [N, T]
+    token_mask: np.ndarray,  # [N, T]
+    batch_size: int = 256,
+) -> jax.Array:
+    """Encode a tokenized corpus into a device-resident [N, D] embedding table
+    (one compiled program; rows padded to a whole number of batches)."""
+    n = token_ids.shape[0]
+    n_pad = -(-n // batch_size) * batch_size
+    ids = np.pad(token_ids, ((0, n_pad - n), (0, 0)))
+    mask = np.pad(token_mask, ((0, n_pad - n), (0, 0)))
+    mask[n:, 0] = 1  # keep padded rows non-degenerate (discarded below)
+    out = _encode_scan(
+        encoder_apply, params, jnp.asarray(ids), jnp.asarray(mask), batch_size
+    )
+    return out[:n]
+
+
+def encode_query_and_passage(
+    encoder_apply: Callable,
+    params,
+    tokenize: Callable[[list[str]], tuple[np.ndarray, np.ndarray]],
+    texts: list[str],
+    query_instruction: str,
+    batch_size: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """The e5 dual encode (reference ``data_model_helper.py:59-80``): passage
+    embeddings from raw text, query embeddings from instruction-prefixed text."""
+    ids, mask = tokenize(texts)
+    passage = encode_corpus(encoder_apply, params, ids, mask, batch_size)
+    q_ids, q_mask = tokenize([query_instruction + t for t in texts])
+    query = encode_corpus(encoder_apply, params, q_ids, q_mask, batch_size)
+    return query, passage
+
+
+def save_embeddings(
+    save_dir: Path, dataset_name: str, embeddings: np.ndarray,
+    query_embeddings: Optional[np.ndarray] = None,
+) -> None:
+    """The save_emb dump (reference ``components.py:193-223`` writes
+    ``{dataset}.pt`` / ``query_{dataset}.pt``)."""
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    np.save(save_dir / f"{dataset_name}.npy", np.asarray(embeddings))
+    if query_embeddings is not None:
+        np.save(save_dir / f"query_{dataset_name}.npy", np.asarray(query_embeddings))
+
+
+def load_embeddings(
+    save_dir: Path, dataset_name: str, with_query: bool = False
+):
+    """Reference ``LoadEmbeddingComponent`` (``components.py:226-258``)."""
+    save_dir = Path(save_dir)
+    emb = np.load(save_dir / f"{dataset_name}.npy")
+    if not with_query:
+        return emb
+    return emb, np.load(save_dir / f"query_{dataset_name}.npy")
+
+
+# ---------------------------------------------------------------------------
+# Token-state store
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TokenStore:
+    """Mask-trimmed per-news token hidden states, packed flat.
+
+    Replaces the reference's SQLite table of torch-pickled BLOBs
+    (``modeling_utils.py:456-473``): one [total_tokens, D] float array plus
+    int64 offsets; ``gather_padded`` returns a [len(indices), T, D] padded batch
+    + mask like ``get_embeds_from_db`` (``data_utils.py:878-890``).
+    """
+
+    states: np.ndarray  # [total_tokens, D]
+    offsets: np.ndarray  # [num_news + 1]
+
+    @property
+    def num_items(self) -> int:
+        return len(self.offsets) - 1
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def gather_padded(
+        self, indices: np.ndarray, max_len: Optional[int] = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        lens = (self.offsets[indices + 1] - self.offsets[indices]).astype(np.int64)
+        if max_len is not None:
+            lens = np.minimum(lens, max_len)
+        T = int(lens.max())
+        out = np.zeros((len(indices), T, self.states.shape[1]), self.states.dtype)
+        mask = np.zeros((len(indices), T), np.float32)
+        for j, (i, ln) in enumerate(zip(indices, lens)):
+            a = self.offsets[i]
+            out[j, :ln] = self.states[a : a + ln]
+            mask[j, :ln] = 1.0
+        return out, mask
+
+    def save(self, path: Path) -> None:
+        np.savez(Path(path), states=self.states, offsets=self.offsets)
+
+    @classmethod
+    def load(cls, path: Path) -> "TokenStore":
+        z = np.load(Path(path))
+        return cls(states=z["states"], offsets=z["offsets"])
+
+    @classmethod
+    def from_ragged(cls, arrays: list[np.ndarray]) -> "TokenStore":
+        lens = np.array([len(a) for a in arrays], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        states = (
+            np.concatenate(arrays, axis=0)
+            if arrays
+            else np.zeros((0, 0), np.float32)
+        )
+        return cls(states=states, offsets=offsets)
+
+
+def build_token_store(
+    encoder_hidden_apply: Callable,  # (params, ids, mask) -> [B, T, D] hidden states
+    params,
+    token_ids: np.ndarray,
+    token_mask: np.ndarray,
+    batch_size: int = 64,
+) -> TokenStore:
+    """Run the encoder WITHOUT pooling and store mask-trimmed token states
+    (reference ``store_text_embed_full_eval``, ``modeling_utils.py:456-473``)."""
+    arrays: list[np.ndarray] = []
+    n = token_ids.shape[0]
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        pad = batch_size - (stop - start)
+        ids_b = np.pad(token_ids[start:stop], ((0, pad), (0, 0)))
+        mask_b = np.pad(token_mask[start:stop], ((0, pad), (0, 0)))
+        hidden = np.asarray(
+            _hidden_batch(
+                encoder_hidden_apply, params, jnp.asarray(ids_b), jnp.asarray(mask_b)
+            )
+        )
+        for j in range(stop - start):
+            ln = int(token_mask[start + j].sum())
+            arrays.append(hidden[j, :ln])
+    return TokenStore.from_ragged(arrays)
+
+
+@functools.partial(jax.jit, static_argnames=("encoder_hidden_apply",))
+def _hidden_batch(encoder_hidden_apply, params, ids, mask):
+    return encoder_hidden_apply(params, ids, mask)

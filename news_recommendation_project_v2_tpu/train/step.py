@@ -6,7 +6,7 @@ all-reduce automatically)."""
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +58,128 @@ def make_tower_train_step(
             u = user[hist_rev]
             cos_p = safe_cosine(u, news_emb[pos_idx])
             cos_n = safe_cosine(u, news_emb[neg_idx])
+            return margin_ranking_loss(cos_p, cos_n, margin, pair_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, loss
+
+    return step
+
+
+def make_joint_train_step(
+    tower_apply: Callable,
+    optimizer: optax.GradientTransformation,
+    margin: float,
+    reduce_apply: Optional[Callable] = None,
+    blend_apply: Optional[Callable] = None,
+) -> Callable:
+    """Joint training variants over a params dict {"tower", ["reduce"], ["blend"]}:
+
+    - ``reduce_apply`` (reference ``AttentionReduceTrainer``, ``trainer.py:716-949``):
+      a learned projector applied to BOTH the gathered history embeddings and the
+      pos/neg candidates before the tower/cosine (``trainer.py:839-853``).
+    - ``blend_apply`` (reference ``AttentionWeightTrainer``, ``trainer.py:217-436``):
+      cosine scores blended with per-candidate classification baselines through
+      the sigmoid-alpha WeightedSum model before the hinge (``trainer.py:338-345``).
+    """
+
+    def step(
+        params,
+        opt_state,
+        news_emb,
+        query_emb,
+        hist_idx,
+        hist_mask,
+        hist_rev,
+        pos_idx,
+        neg_idx,
+        pair_mask,
+        baseline_pos,  # [B] classification baseline for pos (zeros if unused)
+        baseline_neg,  # [B]
+        dropout_key,
+    ):
+        def loss_fn(p):
+            hist_gathered = query_emb[hist_idx]
+            if reduce_apply is not None:
+                hist_gathered = reduce_apply(p["reduce"], hist_gathered)
+            gathered = hist_gathered * hist_mask[..., None].astype(
+                hist_gathered.dtype
+            )
+            user = tower_apply(
+                p["tower"],
+                gathered,
+                hist_mask,
+                deterministic=False,
+                rngs={"dropout": dropout_key},
+            )
+            u = user[hist_rev]
+            cand_p = news_emb[pos_idx]
+            cand_n = news_emb[neg_idx]
+            if reduce_apply is not None:
+                cand_p = reduce_apply(p["reduce"], cand_p)
+                cand_n = reduce_apply(p["reduce"], cand_n)
+            cos_p = safe_cosine(u, cand_p)
+            cos_n = safe_cosine(u, cand_n)
+            if blend_apply is not None:
+                cos_p = blend_apply(p["blend"], cos_p, baseline_pos)
+                cos_n = blend_apply(p["blend"], cos_n, baseline_neg)
+            return margin_ranking_loss(cos_p, cos_n, margin, pair_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, loss
+
+    return step
+
+
+def make_end2end_train_step(
+    token_encoder_apply: Callable,  # (params, [M,T,Dt], [M,T]) -> [M,D]
+    tower_apply: Callable,
+    optimizer: optax.GradientTransformation,
+    margin: float,
+) -> Callable:
+    """End-to-end two-level step (reference ``AttentionAttentionTrainer``,
+    ``trainer.py:1030-1117``): frozen per-token states -> learned token-attention
+    news encoder -> history tower -> cosine -> hinge. ``params`` is
+    {"token_encoder", "tower"}; history/candidate indices address the batch's
+    unique-news axis M."""
+
+    def step(
+        params,
+        opt_state,
+        token_states,  # [M, T, Dt]
+        token_mask,  # [M, T]
+        hist_idx,  # [U, L] indices into M
+        hist_mask,  # [U, L]
+        hist_rev,  # [B]
+        pos_idx,  # [B] indices into M
+        neg_idx,  # [B]
+        pair_mask,  # [B]
+        dropout_key,
+    ):
+        def loss_fn(p):
+            k1, k2 = jax.random.split(dropout_key)
+            news_vecs = token_encoder_apply(
+                p["token_encoder"],
+                token_states,
+                token_mask,
+                deterministic=False,
+                rngs={"dropout": k1},
+            )
+            gathered = news_vecs[hist_idx] * hist_mask[..., None].astype(
+                news_vecs.dtype
+            )
+            user = tower_apply(
+                p["tower"],
+                gathered,
+                hist_mask,
+                deterministic=False,
+                rngs={"dropout": k2},
+            )
+            u = user[hist_rev]
+            cos_p = safe_cosine(u, news_vecs[pos_idx])
+            cos_n = safe_cosine(u, news_vecs[neg_idx])
             return margin_ranking_loss(cos_p, cos_n, margin, pair_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

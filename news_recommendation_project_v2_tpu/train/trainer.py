@@ -260,6 +260,318 @@ class TowerTrainer:
 
 
 # ---------------------------------------------------------------------------
+# Joint trainers: tower + blend (alpha) and tower + reducer
+# ---------------------------------------------------------------------------
+
+
+class JointTowerTrainer(TowerTrainer):
+    """Joint training of the tower with a WeightedSum blender and/or a
+    ReducingModel projector (reference ``AttentionWeightTrainer``
+    ``trainer.py:217-436`` and ``AttentionReduceTrainer`` ``trainer.py:716-949``).
+
+    ``params`` becomes {"tower": ..., ["blend": ...], ["reduce": ...]} under a
+    single optimizer (one AdamW over all parameter groups).
+
+    Evaluation semantics: with a reducer, BOTH the history table and the
+    candidate table are reduced (the reference inconsistently skips the
+    reduction of a provided query table at eval, ``data_model_helper.py:150-158``
+    — here training and eval see the same transform). With a blender, history
+    slots score ``sigmoid(alpha)*cos + (1-sigmoid(alpha))*baseline`` over the
+    classification baseline (reference ``get_cos_sim_final_score``).
+    """
+
+    def __init__(
+        self,
+        tower_apply: Callable,
+        tower_params,
+        compiled_train: CompiledBehaviors,
+        news_emb_train: jnp.ndarray,
+        blend_apply: Optional[Callable] = None,
+        blend_params=None,
+        reduce_apply: Optional[Callable] = None,
+        reduce_params=None,
+        baseline_train: Optional[np.ndarray] = None,  # per-unique-news scores
+        baseline_val: Optional[np.ndarray] = None,
+        **kwargs,
+    ):
+        joint_params = {"tower": tower_params}
+        if blend_apply is not None:
+            assert blend_params is not None and baseline_train is not None
+            joint_params["blend"] = blend_params
+        if reduce_apply is not None:
+            assert reduce_params is not None
+            joint_params["reduce"] = reduce_params
+        self.blend_apply = blend_apply
+        self.reduce_apply = reduce_apply
+        self.baseline_train = baseline_train
+        self.baseline_val = baseline_val
+        super().__init__(
+            tower_apply, joint_params, compiled_train, news_emb_train, **kwargs
+        )
+        from .step import make_joint_train_step
+
+        self._train_step = jax.jit(
+            make_joint_train_step(
+                tower_apply,
+                self.optimizer,
+                self.cfg.margin,
+                reduce_apply=reduce_apply,
+                blend_apply=blend_apply,
+            ),
+            donate_argnums=(0, 1),
+        )
+        self._eval_apply = lambda p, e, m: tower_apply(p["tower"], e, m)
+        if reduce_apply is not None:
+            self._reduce_table = jax.jit(lambda p, t: reduce_apply(p, t))
+
+    def train_one_epoch(self) -> float:
+        losses, counts = [], []
+        baseline = (
+            self.baseline_train
+            if self.baseline_train is not None
+            else np.zeros(self.ct.num_news, np.float32)
+        )
+        for batch in self._epoch_batches():
+            hist_idx, hist_mask, rev, pos, neg, pair_mask = batch
+            self.key, sub = jax.random.split(self.key)
+            self.params, self.opt_state, loss = self._train_step(
+                self.params,
+                self.opt_state,
+                self.news_emb_train,
+                self.query_train,
+                *map(jnp.asarray, batch),
+                jnp.asarray(baseline[pos].astype(np.float32)),
+                jnp.asarray(baseline[neg].astype(np.float32)),
+                sub,
+            )
+            losses.append(loss)
+            counts.append(float(pair_mask.sum()))
+        losses = [float(l) for l in losses]
+        return float(np.dot(losses, counts) / np.sum(counts))
+
+    def _alpha(self) -> Optional[float]:
+        if self.blend_apply is None:
+            return None
+        alpha_leaf = jax.tree.leaves(self.params["blend"])[0]
+        return float(jax.nn.sigmoid(jnp.asarray(alpha_leaf)))
+
+    def _eval_split(self, compiled, news_emb, query_emb, baseline=None):
+        if self.reduce_apply is not None:
+            news_emb = self._reduce_table(self.params["reduce"], news_emb)
+            query_emb = (
+                self._reduce_table(self.params["reduce"], query_emb)
+                if query_emb is not None
+                else None
+            )
+        slots, cand_rows = history_candidate_slots(compiled)
+        scores = score_all_impressions(
+            self._eval_apply,
+            self.params,
+            news_emb,
+            compiled.hist_rev,
+            compiled.hist_lens,
+            compiled.imp_rev[slots],
+            cand_rows,
+            query_news_emb=query_emb,
+            batch_size=self.cfg.batch_size,
+        )
+        return compose_final_scores(
+            compiled,
+            history_scores=scores,
+            baseline_scores=baseline,
+            alpha=self._alpha(),
+        ).metrics
+
+    def evaluate(self):
+        train_scores = self._eval_split(
+            self.ct, self.news_emb_train, self.query_train, self.baseline_train
+        )
+        val_scores = (
+            self._eval_split(
+                self.cv, self.news_emb_val, self.query_val, self.baseline_val
+            )
+            if self.cv is not None
+            else None
+        )
+        return train_scores, val_scores
+
+
+# ---------------------------------------------------------------------------
+# End-to-end two-level trainer (token states -> news encoder -> tower)
+# ---------------------------------------------------------------------------
+
+
+class EndToEndTrainer:
+    """Backprops through a learned token-attention news encoder AND the history
+    tower from frozen per-token states (reference ``AttentionAttentionTrainer``,
+    ``trainer.py:952-1206``): loss-only epochs, NaN-loss abort, per-epoch
+    checkpoints; ``materialize_news_embeddings`` covers the offline
+    ``apply_token_attn`` pass (``data_model_helper.py:374-413``)."""
+
+    TOKEN_BUCKETS = (64, 128, 256, 512)
+    UNIQUE_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
+
+    def __init__(
+        self,
+        token_encoder_apply: Callable,
+        token_encoder_params,
+        tower_apply: Callable,
+        tower_params,
+        compiled_train: CompiledBehaviors,
+        token_store,  # ops.encode.TokenStore
+        cfg: TrainConfig = TrainConfig(),
+        log_dir: Optional[Path] = None,
+        ckpt_dir: Optional[Path] = None,
+        exp_name: str = "",
+        buckets: tuple[int, ...] = HISTORY_BUCKETS,
+        max_token_len: int = 512,
+    ):
+        assert len(compiled_train.hist_lens) == compiled_train.num_rows
+        self.params = {"token_encoder": token_encoder_params, "tower": tower_params}
+        self.token_encoder_apply = token_encoder_apply
+        self.tower_apply = tower_apply
+        self.ct = compiled_train
+        self.store = token_store
+        self.cfg = cfg
+        self.log_dir = log_dir
+        self.exp_name = exp_name
+        self.buckets = buckets
+        self.max_token_len = max_token_len
+        self.rng = np.random.default_rng(cfg.seed)
+        self.key = jax.random.key(cfg.seed)
+        self.optimizer = make_optimizer(cfg)
+        self.opt_state = jax.jit(self.optimizer.init)(self.params)
+        self.best = BestTracker(ckpt_dir, exp_name)
+        self.history: list[dict] = []
+        self._hist_offsets = lengths_to_offsets(compiled_train.hist_lens)
+
+        from .step import make_end2end_train_step
+
+        self._train_step = jax.jit(
+            make_end2end_train_step(
+                token_encoder_apply, tower_apply, self.optimizer, cfg.margin
+            ),
+            donate_argnums=(0, 1),
+        )
+
+    def _epoch_batches(self) -> Iterator[tuple]:
+        cfg = self.cfg
+        pairs = sample_pos_neg_pairs(
+            self.rng, self.ct.imp_rev, self.ct.imp_lens, self.ct.labels_flat,
+            cfg.max_neg_ratio, cfg.max_pos_ratio,
+        )
+        perm = batch_aligned_permutation(self.rng, pairs.shape[1], cfg.batch_size)
+        pairs = pairs[:, perm]
+        B = cfg.batch_size
+        offsets = self._hist_offsets
+        for start in range(0, pairs.shape[1], B):
+            stop = min(start + B, pairs.shape[1])
+            pos = pairs[0, start:stop]
+            neg = pairs[1, start:stop]
+            rows = pairs[2, start:stop]
+            uniq_rows, rev = np.unique(rows, return_inverse=True)
+            # Union of news needed by this batch (histories + candidates),
+            # reference collate data_utils.py:893-915.
+            hist_slices = [
+                self.ct.hist_rev[offsets[r] : offsets[r + 1]] for r in uniq_rows
+            ]
+            all_news = np.concatenate(hist_slices + [pos, neg])
+            uniq_news, inv = np.unique(all_news, return_inverse=True)
+            M = bucket_for(len(uniq_news), self.UNIQUE_BUCKETS)
+            tok_states, tok_mask = self.store.gather_padded(
+                uniq_news, max_len=self.max_token_len
+            )
+            T = bucket_for(tok_states.shape[1], self.TOKEN_BUCKETS)
+            tok_states = np.pad(
+                tok_states[:, :T],
+                ((0, M - len(uniq_news)), (0, max(0, T - tok_states.shape[1])), (0, 0)),
+            )
+            tok_mask = np.pad(
+                tok_mask[:, :T],
+                ((0, M - len(uniq_news)), (0, max(0, T - tok_mask.shape[1]))),
+            )
+            tok_mask[len(uniq_news):, 0] = 1.0  # keep pad rows non-degenerate
+            # Split relative indices back out.
+            cuts = np.cumsum([len(h) for h in hist_slices])
+            rel = np.split(inv, [*cuts, cuts[-1] + len(pos)] if len(cuts) else [0, len(pos)])
+            hist_rel, pos_rel, neg_rel = rel[:-2], rel[-2], rel[-1]
+            max_hist = max((len(h) for h in hist_rel), default=1)
+            L = bucket_for(max_hist, self.buckets)
+            hist_idx = np.zeros((B, L), np.int32)
+            hist_mask = np.zeros((B, L), np.float32)
+            for j, h in enumerate(hist_rel):
+                ln = min(len(h), L)
+                hist_idx[j, :ln] = h[:ln]
+                hist_mask[j, :ln] = 1.0
+            pad = B - (stop - start)
+            yield (
+                tok_states.astype(np.float32),
+                tok_mask.astype(np.float32),
+                hist_idx,
+                hist_mask,
+                np.pad(rev.astype(np.int32), (0, pad)),
+                np.pad(pos_rel.astype(np.int32), (0, pad)),
+                np.pad(neg_rel.astype(np.int32), (0, pad)),
+                np.pad(np.ones(stop - start, np.float32), (0, pad)),
+            )
+
+    def train_one_epoch(self) -> float:
+        losses, counts = [], []
+        for batch in self._epoch_batches():
+            self.key, sub = jax.random.split(self.key)
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, *map(jnp.asarray, batch), sub
+            )
+            loss = float(loss)
+            if not np.isfinite(loss):  # NaN abort (reference trainer.py:1070-1072)
+                raise FloatingPointError("NaN/Inf loss in end-to-end training")
+            losses.append(loss)
+            counts.append(float(batch[7].sum()))
+        return float(np.dot(losses, counts) / np.sum(counts))
+
+    def train(self, num_epochs: Optional[int] = None) -> list[dict]:
+        num_epochs = num_epochs or self.cfg.num_epochs
+        for epoch in range(1, num_epochs + 1):
+            loss = self.train_one_epoch()
+            self.history.append(
+                {"exp_name": self.exp_name, "epoch": epoch, "loss": loss}
+            )
+            _log_jsonl(
+                self.log_dir,
+                "train_final_history_score.jsonl",
+                {"exp_name": self.exp_name, "epoch": epoch, "loss": loss},
+            )
+            if self.best.ckpt_dir is not None:
+                from .checkpoint import save_pytree
+
+                self.best.ckpt_dir.mkdir(parents=True, exist_ok=True)
+                save_pytree(self.best.ckpt_dir / f"Epoch_{epoch}", self.params)
+        return self.history
+
+    def materialize_news_embeddings(self, batch_size: int = 64) -> np.ndarray:
+        """Run the learned token encoder over the whole store -> [N, D] news
+        embedding matrix (reference ``apply_token_attn`` + ``store_embeddings``,
+        ``data_model_helper.py:374-413``)."""
+        n = self.store.num_items
+        out = []
+        apply = jax.jit(
+            lambda p, s, m: self.token_encoder_apply(p, s, m)
+        )
+        for start in range(0, n, batch_size):
+            idx = np.arange(start, min(start + batch_size, n))
+            states, mask = self.store.gather_padded(idx, max_len=self.max_token_len)
+            T = bucket_for(states.shape[1], self.TOKEN_BUCKETS)
+            states = np.pad(states[:, :T], ((0, batch_size - len(idx)), (0, max(0, T - states.shape[1])), (0, 0)))
+            mask = np.pad(mask[:, :T], ((0, batch_size - len(idx)), (0, max(0, T - mask.shape[1]))))
+            mask[len(idx):, 0] = 1.0
+            vecs = np.asarray(
+                apply(self.params["token_encoder"], jnp.asarray(states), jnp.asarray(mask))
+            )
+            out.append(vecs[: len(idx)])
+        return np.concatenate(out)
+
+
+# ---------------------------------------------------------------------------
 # Classification-head trainer
 # ---------------------------------------------------------------------------
 
