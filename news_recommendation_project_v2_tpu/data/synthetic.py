@@ -25,8 +25,11 @@ def write_synthetic_mind(
     seed: int = 1234,
 ) -> Path:
     """Write behaviors.tsv / news.tsv / entity_embedding.vec under
-    ``root/raw/<dataset>/``; returns that directory."""
-    rng = np.random.default_rng(seed)
+    ``root/raw/<dataset>/``; returns that directory. The seed is offset per
+    dataset name so train/dev splits differ."""
+    import zlib
+
+    rng = np.random.default_rng(seed + zlib.crc32(dataset.value.encode()) % 1000)
     raw = Path(root) / "raw" / dataset.value
     raw.mkdir(parents=True, exist_ok=True)
 

@@ -1,0 +1,110 @@
+"""Step-pipeline kernel with a content-keyed artifact cache.
+
+Capability parity with the reference pipeline kernel (``pipeline.py:8-90``):
+``PipelineComponent`` with ``transform``/``train`` + ``required_keys`` contracts,
+and a ``Pipeline`` running named steps over (context, val_context) with per-step
+caching. Fixes the reference's stale-cache quirk — its cache key is only
+``{pipeline}_{step}`` (``pipeline.py:55-58``), so code or data changes silently
+reuse stale artifacts; here the key also hashes each component's declared
+configuration (``cache_token``), and components can opt out entirely.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+from abc import ABC, abstractmethod
+from pathlib import Path
+from typing import Any, Iterable, Optional
+
+
+def check_req_keys(required_keys: set[str], context: dict[str, Any]) -> None:
+    for key in required_keys:
+        assert key in context, f"Required key {key!r} is not present in context"
+
+
+class PipelineComponent(ABC):
+    required_keys: set[str] = set()
+    train_required_keys: set[str] = set()
+    cacheable: bool = True
+
+    @abstractmethod
+    def transform(self, context: dict[str, Any]) -> dict[str, Any]:
+        ...
+
+    def train(
+        self,
+        context: dict[str, Any],
+        val_context: Optional[dict[str, Any]] = None,
+    ) -> None:
+        pass
+
+    def cache_token(self) -> str:
+        """Configuration fingerprint mixed into the step cache key."""
+        return repr(sorted(self.__dict__.items(), key=lambda kv: kv[0]))
+
+
+class Pipeline:
+    """Sequential named steps over (context, val_context) with per-step cache
+    (reference ``Pipeline``, ``pipeline.py:32-90``)."""
+
+    def __init__(
+        self,
+        name: str,
+        steps: Iterable[tuple[str, PipelineComponent]],
+        use_cache: bool = True,
+        cache_dir: Path = Path("cache"),
+    ):
+        self.name = name
+        self._steps = list(steps)
+        self.use_cache = use_cache
+        self.cache_dir = Path(cache_dir)
+        if use_cache:
+            self.cache_dir.mkdir(parents=True, exist_ok=True)
+
+    def _cache_path(self, step_name: str, component: PipelineComponent) -> Path:
+        token = hashlib.sha256(
+            f"{self.name}|{step_name}|{type(component).__name__}|"
+            f"{component.cache_token()}".encode()
+        ).hexdigest()[:16]
+        return self.cache_dir / f"{self.name}_{step_name}_{token}.pkl"
+
+    def _iterate(
+        self,
+        context: dict[str, Any],
+        val_context: Optional[dict[str, Any]],
+        training: bool,
+    ):
+        for step_name, component in self._steps:
+            print(f"Starting step {step_name}")
+            cache_file = (
+                self._cache_path(step_name, component)
+                if self.use_cache and component.cacheable
+                else None
+            )
+            if cache_file is not None and cache_file.is_file():
+                with open(cache_file, "rb") as f:
+                    loaded = pickle.load(f)
+                context = loaded["context"]
+                val_context = loaded["val_context"]
+            else:
+                check_req_keys(component.required_keys, context)
+                if training:
+                    check_req_keys(component.train_required_keys, context)
+                    component.train(context, val_context)
+                context = component.transform(context)
+                if val_context is not None:
+                    val_context = component.transform(val_context)
+                if cache_file is not None:
+                    with open(cache_file, "wb") as f:
+                        pickle.dump(
+                            {"context": context, "val_context": val_context}, f
+                        )
+            print(f"Completed step {step_name}")
+        return context, val_context
+
+    def transform(self, context, val_context=None):
+        return self._iterate(context, val_context, training=False)
+
+    def train(self, context, val_context=None):
+        return self._iterate(context, val_context, training=True)
