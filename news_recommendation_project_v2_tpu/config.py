@@ -105,6 +105,8 @@ class TowerConfig:
     # LayerNorm(input), discarding attention/MLP outputs. ``as_built=True``
     # reproduces that behavior; False implements the intended block.
     as_built: bool = False
+    # Route the latent tower's cross-attention through the Pallas fused kernel.
+    fused_attention: bool = False
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
 

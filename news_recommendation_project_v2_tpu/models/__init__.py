@@ -50,6 +50,7 @@ def build_tower(config: TowerConfig) -> nn.Module:
             num_latents=config.num_latents,
             heads=config.num_heads,
             dim_head=config.latent_dim_head,
+            use_fused=config.fused_attention,
         )
     raise ValueError(f"Unknown tower kind: {config.kind!r}")
 

@@ -22,12 +22,19 @@ from ..config import REDUCED_DIM
 
 class CrossAttention(nn.Module):
     """Reference ``Attention`` (``latent_attention.py:51-74``): q from x, kv from
-    context, no bias, no mask."""
+    context, no bias, no mask.
+
+    ``use_fused=True`` routes the attention through the Pallas fused kernel
+    (``ops.pallas_attention``). It requires the context to be identical across
+    the batch (true here: the context is the broadcast shared latents), so K/V
+    are computed once from ``context[0]``.
+    """
 
     query_dim: int
     context_dim: int
     heads: int = 8
     dim_head: int = 512
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
@@ -35,14 +42,23 @@ class CrossAttention(nn.Module):
         b, l, _ = x.shape
         n = context.shape[1]
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context)
-        k, v = jnp.split(kv, 2, axis=-1)
         q = q.reshape(b, l, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        k = k.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        v = v.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (self.dim_head**-0.5)
-        probs = nn.softmax(logits, axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if self.use_fused:
+            from ..ops.pallas_attention import fused_latent_attention
+
+            kv1 = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context[0])
+            k1, v1 = jnp.split(kv1, 2, axis=-1)
+            k1 = k1.reshape(n, self.heads, self.dim_head).transpose(1, 0, 2)
+            v1 = v1.reshape(n, self.heads, self.dim_head).transpose(1, 0, 2)
+            ctx = fused_latent_attention(q, k1, v1)
+        else:
+            kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context)
+            k, v = jnp.split(kv, 2, axis=-1)
+            k = k.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+            v = v.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (self.dim_head**-0.5)
+            probs = nn.softmax(logits, axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, inner)
         return nn.Dense(self.query_dim, use_bias=False, name="to_out")(ctx)
 
@@ -69,6 +85,7 @@ class LatentAttentionTower(nn.Module):
     heads: int = 8
     dim_head: int = 512
     output_normalize: bool = True
+    use_fused: bool = False  # Pallas fused cross-attention kernel
 
     @nn.compact
     def __call__(
@@ -93,7 +110,12 @@ class LatentAttentionTower(nn.Module):
         normed_ctx = nn.LayerNorm(name="cross_prenorm_context")(ctx)
         h = (
             CrossAttention(
-                self.dim, self.dim, self.heads, self.dim_head, name="cross_attn"
+                self.dim,
+                self.dim,
+                self.heads,
+                self.dim_head,
+                use_fused=self.use_fused,
+                name="cross_attn",
             )(normed_x, normed_ctx)
             + h
         )

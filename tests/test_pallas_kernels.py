@@ -1,0 +1,85 @@
+"""Pallas kernel tests (interpret mode on CPU): fused latent cross-attention
+forward/backward vs the jnp reference, and fused-vs-unfused tower equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_recommendation_project_v2_tpu.models.latent_attention import (
+    LatentAttentionTower,
+)
+from news_recommendation_project_v2_tpu.ops.pallas_attention import (
+    _reference_attention,
+    fused_latent_attention,
+)
+
+B, H, L, N, DH = 3, 2, 16, 8, 32
+
+
+@pytest.fixture
+def qkv(rng):
+    q = jnp.asarray(rng.standard_normal((B, H, L, DH)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((H, N, DH)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((H, N, DH)), dtype=jnp.float32)
+    return q, k, v
+
+
+def test_forward_matches_reference(qkv):
+    q, k, v = qkv
+    got = jax.jit(fused_latent_attention)(q, k, v)
+    exp = _reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5)
+
+
+def test_backward_matches_reference(qkv):
+    q, k, v = qkv
+
+    def loss_fused(q, k, v):
+        return (fused_latent_attention(q, k, v) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v) ** 2).sum()
+
+    g_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_tower_fused_matches_unfused(rng):
+    D = 64
+    emb = jnp.asarray(rng.standard_normal((4, 12, D)), dtype=jnp.float32)
+    mask = jnp.asarray((rng.random((4, 12)) < 0.8).astype(np.float32))
+    mask = mask.at[:, 0].set(1.0)
+    t_plain = LatentAttentionTower(
+        dim=D, num_latents=8, heads=2, dim_head=16, use_fused=False
+    )
+    t_fused = LatentAttentionTower(
+        dim=D, num_latents=8, heads=2, dim_head=16, use_fused=True
+    )
+    params = jax.jit(lambda: t_plain.init(jax.random.key(0), emb, mask))()
+    out_plain = jax.jit(t_plain.apply)(params, emb, mask)
+    out_fused = jax.jit(t_fused.apply)(params, emb, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_fused), atol=1e-5
+    )
+
+
+def test_fused_tower_trains(rng):
+    """Gradients flow through the fused kernel inside a tower loss."""
+    D = 32
+    emb = jnp.asarray(rng.standard_normal((2, 8, D)), dtype=jnp.float32)
+    mask = jnp.ones((2, 8), dtype=jnp.float32)
+    tower = LatentAttentionTower(
+        dim=D, num_latents=4, heads=2, dim_head=8, use_fused=True
+    )
+    params = jax.jit(lambda: tower.init(jax.random.key(0), emb, mask))()
+
+    def loss(p):
+        return (tower.apply(p, emb, mask) ** 2).sum()
+
+    grads = jax.jit(jax.grad(loss))(params)
+    norms = [float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(norms))
+    assert sum(norms) > 0
