@@ -98,6 +98,34 @@ class CompiledBehaviors:
         )
 
 
+def _from_native(result) -> CompiledBehaviors:
+    (
+        news,
+        imp_rev,
+        imp_row,
+        imp_lens,
+        hist_rev,
+        hist_row,
+        hist_lens,
+        hist_row_index,
+        labels,
+        label_present,
+    ) = result
+    i32 = lambda b: np.frombuffer(b, dtype=np.int32)  # noqa: E731
+    return CompiledBehaviors(
+        news_ids=np.asarray(news),
+        imp_rev=i32(imp_rev),
+        imp_row=i32(imp_row),
+        imp_lens=i32(imp_lens),
+        hist_rev=i32(hist_rev),
+        hist_row=i32(hist_row),
+        hist_lens=i32(hist_lens),
+        hist_row_index=i32(hist_row_index),
+        labels_flat=np.frombuffer(labels, dtype=np.int8) if labels is not None else None,
+        label_present=bool(label_present),
+    )
+
+
 def _is_missing(value) -> bool:
     if value is None:
         return True
@@ -111,15 +139,32 @@ def _is_missing(value) -> bool:
 def compile_behaviors(
     impressions: Sequence[str],
     history: Sequence[Optional[str]],
+    use_native: bool = True,
 ) -> CompiledBehaviors:
-    """Compile behavior strings into flat index arrays (vectorized).
+    """Compile behavior strings into flat index arrays.
 
     ``impressions[i]`` is a space-separated list of ``NewsID`` or ``NewsID-{0,1}``
     tokens; ``history[i]`` is a space-separated ``NewsID`` list or missing.
+
+    Uses the C++ extension (``native/behaviors_compiler.cpp``) when it builds
+    and loads, falling back to the vectorized pandas path — both produce
+    identical arrays (cross-checked in tests).
     """
     n = len(impressions)
     assert n > 0, "No impressions given"
     assert len(history) == n, "history and impressions must have equal row counts"
+
+    if use_native:
+        from .. import native
+
+        mod = native.load()
+        if mod is not None:
+            try:
+                return _from_native(
+                    mod.compile_behaviors(list(impressions), list(history))
+                )
+            except (TypeError, ValueError):
+                pass  # fall back for exotic inputs
 
     label_present = "-" in impressions[0]
 
