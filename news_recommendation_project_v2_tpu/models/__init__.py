@@ -25,7 +25,15 @@ from .pooling import (
     last_token_pool,
     pooling_for_architecture,
 )
-from .towers import ClassificationHead, FinalAttention, ReducingModel, WeightedSumModel
+from .towers import (
+    ClassificationHead,
+    ClassificationHeadCatEmbed,
+    EmbeddingWrapper,
+    FinalAttention,
+    ReducingModel,
+    ResizeWrapperModel,
+    WeightedSumModel,
+)
 
 
 def build_tower(config: TowerConfig) -> nn.Module:
@@ -57,7 +65,10 @@ def build_tower(config: TowerConfig) -> nn.Module:
 
 __all__ = [
     "ClassificationHead",
+    "ClassificationHeadCatEmbed",
     "CrossAttention",
+    "EmbeddingWrapper",
+    "ResizeWrapperModel",
     "FinalAttention",
     "GEGLUFeedForward",
     "GatedMLP",

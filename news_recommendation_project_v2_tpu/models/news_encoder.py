@@ -81,11 +81,14 @@ class NewsEncoder(nn.Module):
     config: EncoderConfig = EncoderConfig()
 
     @nn.compact
-    def __call__(
+    def hidden_states(
         self,
         token_ids: jnp.ndarray,  # [B, T] int32
         mask: jnp.ndarray,  # [B, T]
     ) -> jnp.ndarray:
+        """Per-token last hidden states [B, T, D] (the token-store producer;
+        reference ``store_text_embed_full_eval`` reads ``last_hidden_state``,
+        ``modeling_utils.py:463``)."""
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
         word = nn.Embed(
@@ -113,7 +116,16 @@ class NewsEncoder(nn.Module):
                 dtype=dtype,
                 name=f"layer_{i}",
             )(hidden, mask)
-        pooled = POOLING[cfg.pooling](hidden.astype(jnp.float32), mask)
+        return hidden.astype(jnp.float32)
+
+    def __call__(
+        self,
+        token_ids: jnp.ndarray,  # [B, T] int32
+        mask: jnp.ndarray,  # [B, T]
+    ) -> jnp.ndarray:
+        cfg = self.config
+        hidden = self.hidden_states(token_ids, mask)
+        pooled = POOLING[cfg.pooling](hidden, mask)
         if cfg.normalize:
             pooled = pooled / jnp.sqrt(
                 (pooled * pooled).sum(-1, keepdims=True) + 1e-12

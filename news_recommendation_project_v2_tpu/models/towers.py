@@ -88,3 +88,63 @@ class ReducingModel(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.relu(nn.Dense(self.output_dim, name="linear")(x))
         return nn.Dense(self.output_dim, name="linear2")(x)
+
+
+class ClassificationHeadCatEmbed(nn.Module):
+    """Content scorer whose last input feature is a category id replaced by a
+    learned embedding (reference ``ClassificationHeadCatEmbed``,
+    ``modeling_utils.py:119-136``; unused in the reference's active path but
+    part of its surface)."""
+
+    in_dim: int = EMBEDDING_DIM
+    hidden_dim: int = EMBEDDING_DIM
+    out_dim: int = 1
+    num_categories: int = 15
+    cat_dim: int = 128
+
+    @nn.compact
+    def __call__(self, embeddings: jnp.ndarray) -> jnp.ndarray:
+        cat = nn.Embed(self.num_categories, self.cat_dim, name="cat_embed")(
+            embeddings[..., -1].astype(jnp.int32)
+        )
+        x = jnp.concatenate([embeddings[..., :-1], cat], axis=-1)
+        x = nn.relu(nn.Dense(self.hidden_dim, name="linear_1")(x))
+        x = nn.relu(nn.Dense(self.hidden_dim, name="linear_2")(x))
+        return nn.Dense(self.out_dim, name="linear_3")(x)
+
+
+class EmbeddingWrapper(nn.Module):
+    """Prepend learned category/subcategory embeddings (read from the last two
+    input features) before a wrapped tower (reference ``EmbeddingWrapper``,
+    ``modeling_utils.py:326-340``)."""
+
+    wrapped: nn.Module
+    num_categories: int = 15
+    num_subcategories: int = 134
+    cat_dim: int = 128
+
+    @nn.compact
+    def __call__(self, embeddings: jnp.ndarray, *args, **kwargs) -> jnp.ndarray:
+        cat = nn.Embed(self.num_categories, self.cat_dim, name="cat_embed")(
+            embeddings[..., -2].astype(jnp.int32)
+        )
+        subcat = nn.Embed(
+            self.num_subcategories, self.cat_dim, name="subcat_embed"
+        )(embeddings[..., -1].astype(jnp.int32))
+        combined = jnp.concatenate([embeddings[..., :-2], cat, subcat], axis=-1)
+        return self.wrapped(combined.astype(jnp.float32), *args, **kwargs)
+
+
+class ResizeWrapperModel(nn.Module):
+    """Linear bottleneck in/out around a wrapped tower (reference
+    ``ResizeWrapperModel``, ``modeling_utils.py:349-364``)."""
+
+    wrapped: nn.Module
+    embed_dim: int = EMBEDDING_DIM
+    reduced_dim: int = REDUCED_DIM
+
+    @nn.compact
+    def __call__(self, embeddings: jnp.ndarray, *args, **kwargs) -> jnp.ndarray:
+        x = nn.Dense(self.reduced_dim, name="bottleneck_in")(embeddings)
+        x = self.wrapped(x, *args, **kwargs)
+        return nn.Dense(self.embed_dim, name="bottleneck_out")(x)

@@ -1,4 +1,5 @@
 from .components import (
+    AttentionAttentionComponent,
     AttentionComponent,
     AttentionReduceComponent,
     AttentionWeightComponent,
@@ -7,13 +8,16 @@ from .components import (
     FinalAttentionComponent,
     LoadEmbeddingComponent,
     SaveEmbeddingComponent,
+    StoreTokenStatesComponent,
     TokenEmbeddingsComponent,
     TransformDataComponent,
 )
 from .pipeline import Pipeline, PipelineComponent, check_req_keys
 
 __all__ = [
+    "AttentionAttentionComponent",
     "AttentionComponent",
+    "StoreTokenStatesComponent",
     "AttentionReduceComponent",
     "AttentionWeightComponent",
     "ClassificationComponent",

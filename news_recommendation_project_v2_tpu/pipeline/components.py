@@ -484,6 +484,96 @@ class AttentionReduceComponent(_TowerComponentBase):
 
 
 @dataclasses.dataclass
+class StoreTokenStatesComponent(PipelineComponent):
+    """Encode news texts WITHOUT pooling and persist the mask-trimmed token
+    states (reference ``StoreEmbeddingsComponent``, ``components.py:858-880``;
+    it also drops the text dict from the context)."""
+
+    encoder_hidden_apply: Callable
+    encoder_params: Any
+    tokenize: Callable
+    db_path: Optional[Path] = None
+    batch_size: int = 64
+    required_keys = {"compiled", "news_text_dict"}
+    cacheable = False
+
+    def transform(self, context):
+        from ..ops.encode import build_token_store
+
+        compiled: CompiledBehaviors = context["compiled"]
+        texts = [context["news_text_dict"][n] for n in compiled.news_ids]
+        ids, mask = self.tokenize(texts)
+        store = build_token_store(
+            self.encoder_hidden_apply,
+            self.encoder_params,
+            ids,
+            mask,
+            self.batch_size,
+        )
+        if self.db_path is not None:
+            store.save(self.db_path)
+        context["token_store"] = store
+        context.pop("news_text_dict", None)
+        return context
+
+
+class AttentionAttentionComponent(PipelineComponent):
+    """Train-only end-to-end component (reference ``AttentionAttentionComponent``,
+    ``components.py:883-952``: transform is identity there too); after training
+    it materializes learned news embeddings into the context so downstream
+    scoring components can run."""
+
+    required_keys = {"compiled", "token_store"}
+    cacheable = False
+
+    def __init__(
+        self,
+        token_encoder_apply: Callable,
+        token_encoder_params,
+        tower_apply: Callable,
+        tower_params,
+        cfg: TrainConfig = TrainConfig(),
+        log_dir: Optional[Path] = None,
+        ckpt_dir: Optional[Path] = None,
+        exp_name: str = "attn_attn",
+        max_token_len: int = 512,
+    ):
+        self.token_encoder_apply = token_encoder_apply
+        self.token_encoder_params = token_encoder_params
+        self.tower_apply = tower_apply
+        self.tower_params = tower_params
+        self.cfg = cfg
+        self.log_dir = log_dir
+        self.ckpt_dir = ckpt_dir
+        self.exp_name = exp_name
+        self.max_token_len = max_token_len
+        self._trainer = None
+
+    def train(self, context, val_context=None):
+        from ..train.trainer import EndToEndTrainer
+
+        self._trainer = EndToEndTrainer(
+            self.token_encoder_apply,
+            self.token_encoder_params,
+            self.tower_apply,
+            self.tower_params,
+            context["compiled"].with_history_view(),
+            context["token_store"],
+            cfg=self.cfg,
+            log_dir=self.log_dir,
+            ckpt_dir=self.ckpt_dir,
+            exp_name=self.exp_name,
+            max_token_len=self.max_token_len,
+        )
+        self._trainer.train()
+
+    def transform(self, context):
+        if self._trainer is not None:
+            context["news_embeddings"] = self._trainer.materialize_news_embeddings()
+        return context
+
+
+@dataclasses.dataclass
 class TokenEmbeddingsComponent(PipelineComponent):
     """Materialize a learned news-embedding table from a token store + trained
     token encoder (reference ``TokenEmbeddingsComponent``,

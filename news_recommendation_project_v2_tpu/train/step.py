@@ -67,6 +67,60 @@ def make_tower_train_step(
     return step
 
 
+def make_tower_infonce_step(
+    tower_apply: Callable,
+    optimizer: optax.GradientTransformation,
+    num_neg: int,
+    temperature: float = 1.0,
+) -> Callable:
+    """InfoNCE step: one positive vs ``num_neg`` sampled negatives per pair,
+    ``-1`` negative padding masked out (the reference wires this path but leaves
+    it disabled — ``trainer.py:497-506``, ``data_utils.py:275-334``)."""
+    from .losses import infonce_loss
+
+    def step(
+        params,
+        opt_state,
+        news_emb,
+        query_emb,
+        hist_idx,  # [U, L]
+        hist_mask,  # [U, L]
+        hist_rev,  # [B]
+        pos_idx,  # [B]
+        neg_idx,  # [B, K] (-1 = pad)
+        pair_mask,  # [B]
+        dropout_key,
+    ):
+        def loss_fn(p):
+            gathered = query_emb[hist_idx] * hist_mask[..., None].astype(
+                query_emb.dtype
+            )
+            user = tower_apply(
+                p,
+                gathered,
+                hist_mask,
+                deterministic=False,
+                rngs={"dropout": dropout_key},
+            )
+            u = user[hist_rev]
+            pos_scores = safe_cosine(u, news_emb[pos_idx])
+            neg_valid = (neg_idx >= 0).astype(jnp.float32)
+            safe_neg = jnp.maximum(neg_idx, 0)
+            neg_e = news_emb[safe_neg]  # [B, K, D]
+            un = jnp.sqrt((u * u).sum(-1, keepdims=True) + 1e-16)
+            nn_ = jnp.sqrt((neg_e * neg_e).sum(-1) + 1e-16)
+            neg_scores = (u[:, None, :] * neg_e).sum(-1) / (un * nn_)
+            return infonce_loss(
+                pos_scores, neg_scores, neg_valid, temperature, pair_mask
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, loss
+
+    return step
+
+
 def make_joint_train_step(
     tower_apply: Callable,
     optimizer: optax.GradientTransformation,

@@ -127,10 +127,20 @@ class TowerTrainer:
         # across evaluate() calls.
         self._eval_apply = lambda p, e, m: tower_apply(p, e, m)
 
-        self._train_step = jax.jit(
-            make_tower_train_step(tower_apply, self.optimizer, cfg.margin),
-            donate_argnums=(0, 1),
-        )
+        if cfg.loss == "infonce":
+            from .step import make_tower_infonce_step
+
+            self._train_step = jax.jit(
+                make_tower_infonce_step(
+                    tower_apply, self.optimizer, cfg.num_neg_per_pos
+                ),
+                donate_argnums=(0, 1),
+            )
+        else:
+            self._train_step = jax.jit(
+                make_tower_train_step(tower_apply, self.optimizer, cfg.margin),
+                donate_argnums=(0, 1),
+            )
 
     # ------------------------------------------------------------------
     # Host input pipeline
@@ -138,28 +148,50 @@ class TowerTrainer:
 
     def _epoch_batches(self) -> Iterator[tuple]:
         """Sample pairs, batch-aligned shuffle, dedup histories per batch, pad to
-        static (batch_size, bucket) shapes."""
+        static (batch_size, bucket) shapes. With ``cfg.loss == "infonce"`` the
+        negative column becomes [B, K] with -1 padding."""
         cfg = self.cfg
-        pairs = sample_pos_neg_pairs(
-            self.rng,
-            self.ct.imp_rev,
-            self.ct.imp_lens,
-            self.ct.labels_flat,
-            cfg.max_neg_ratio,
-            cfg.max_pos_ratio,
-        )
+        if cfg.loss == "infonce":
+            from ..data.sampling import sample_pos_neg_infonce
+
+            raw = sample_pos_neg_infonce(
+                self.rng,
+                self.ct.imp_rev,
+                self.ct.imp_lens,
+                self.ct.labels_flat,
+                cfg.num_neg_per_pos,
+            )
+            # Reshape to the (pos, neg, row) triple layout: neg as [K, total].
+            pairs = np.concatenate([raw[:1], raw[-1:]], axis=0)
+            negs = raw[1:-1]
+        else:
+            pairs = sample_pos_neg_pairs(
+                self.rng,
+                self.ct.imp_rev,
+                self.ct.imp_lens,
+                self.ct.labels_flat,
+                cfg.max_neg_ratio,
+                cfg.max_pos_ratio,
+            )
+            negs = None
         # Row-level permutation before pairing batches (reference permutes
         # impressions inside reset(); pair order follows impression order).
         perm = batch_aligned_permutation(self.rng, pairs.shape[1], cfg.batch_size)
         pairs = pairs[:, perm]
+        if negs is not None:
+            negs = negs[:, perm]
         B = cfg.batch_size
         total = pairs.shape[1]
         offsets = self._hist_offsets
         for start in range(0, total, B):
             stop = min(start + B, total)
             pos = pairs[0, start:stop]
-            neg = pairs[1, start:stop]
-            rows = pairs[2, start:stop]
+            neg = (
+                negs[:, start:stop].T  # [b, K]
+                if negs is not None
+                else pairs[1, start:stop]
+            )
+            rows = pairs[-1, start:stop]
             uniq_rows, rev = np.unique(rows, return_inverse=True)
             U = len(uniq_rows)
             max_len = int(self.ct.hist_lens[uniq_rows].max())
@@ -172,12 +204,17 @@ class TowerTrainer:
                 hist_idx[j, :ln] = self.ct.hist_rev[a : a + ln]
                 hist_mask[j, :ln] = 1.0
             pad = B - (stop - start)
+            neg_padded = (
+                np.pad(neg.astype(np.int32), ((0, pad), (0, 0)), constant_values=-1)
+                if neg.ndim == 2
+                else np.pad(neg.astype(np.int32), (0, pad))
+            )
             yield (
                 hist_idx,
                 hist_mask,
                 np.pad(rev.astype(np.int32), (0, pad)),
                 np.pad(pos.astype(np.int32), (0, pad)),
-                np.pad(neg.astype(np.int32), (0, pad)),
+                neg_padded,
                 np.pad(np.ones(stop - start, np.float32), (0, pad)),
             )
 
