@@ -1,6 +1,7 @@
 from .mesh import build_mesh
 from .sharding import (
     batch_sharding,
+    make_sequence_sharded_tower_fn,
     make_sharded_tower_train_step,
     replicated,
     shard_news_table,
@@ -10,6 +11,7 @@ from .sharding import (
 __all__ = [
     "batch_sharding",
     "build_mesh",
+    "make_sequence_sharded_tower_fn",
     "make_sharded_tower_train_step",
     "replicated",
     "shard_news_table",

@@ -81,6 +81,28 @@ def make_sharded_tower_train_step(
     )
 
 
+def make_sequence_sharded_tower_fn(mesh: Mesh, tower_apply: Callable) -> Callable:
+    """Sequence-parallel tower forward: the history axis of [B, L, D] inputs is
+    sharded over the ``model`` axis (batch over ``data``), so very long clicked
+    histories split across chips (SURVEY.md §2.6 SP/CP row; the reference's
+    600-item cap, ``config.py:33``, is the single-device analogue).
+
+    Works for towers whose per-item compute is independent up to masked
+    reductions (the latent tower qualifies: per-item Q projections and
+    cross-attention against shared latents, then a masked mean — XLA inserts
+    the psum for the reduction).
+    """
+    rep = replicated(mesh)
+    seq3 = NamedSharding(mesh, P("data", "model", None))
+    seq2 = NamedSharding(mesh, P("data", "model"))
+    out = batch_sharding(mesh)
+
+    def fn(params, gathered, mask):
+        return tower_apply(params, gathered, mask)
+
+    return jax.jit(fn, in_shardings=(rep, seq3, seq2), out_shardings=out)
+
+
 def make_sharded_scoring_fn(mesh: Mesh, tower_apply: Callable) -> Callable:
     """Jitted eval scoring over the mesh: tower forward on data-sharded history
     batches against the model-sharded table, then flat cosine scores for

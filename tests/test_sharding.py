@@ -122,3 +122,26 @@ def test_sharded_scoring_matches(mesh, rng):
 def test_data_only_mesh(rng):
     mesh = build_mesh(MeshConfig(data_size=8, model_size=1))
     assert mesh.shape == {"data": 8, "model": 1}
+
+
+def test_sequence_sharded_tower_matches(mesh, rng):
+    from news_recommendation_project_v2_tpu.parallel import (
+        make_sequence_sharded_tower_fn,
+    )
+
+    tower = build_tower(
+        TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
+    )
+    B, L = 8, 16  # L divisible by the model axis (2)
+    emb = jnp.asarray(rng.standard_normal((B, L, D)), dtype=jnp.float32)
+    mask = jnp.asarray((rng.random((B, L)) < 0.8).astype(np.float32))
+    mask = mask.at[:, 0].set(1.0)
+    emb = emb * mask[..., None]
+    params = jax.jit(lambda: tower.init(jax.random.key(0), emb, mask))()
+
+    plain = jax.jit(lambda p, e, m: tower.apply(p, e, m))(params, emb, mask)
+    sp_fn = make_sequence_sharded_tower_fn(mesh, lambda p, e, m: tower.apply(p, e, m))
+    sharded = sp_fn(params, emb, mask)
+    np.testing.assert_allclose(
+        np.asarray(plain), np.asarray(sharded), atol=1e-5
+    )
