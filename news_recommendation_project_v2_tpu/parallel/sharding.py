@@ -103,6 +103,34 @@ def make_sequence_sharded_tower_fn(mesh: Mesh, tower_apply: Callable) -> Callabl
     return jax.jit(fn, in_shardings=(rep, seq3, seq2), out_shardings=out)
 
 
+def shard_encoder_params_tp(mesh: Mesh, params) -> object:
+    """Tensor-parallel layout for NewsEncoder params: FFN in-projection kernels
+    column-sharded and out-projection kernels row-sharded over ``model``
+    (Megatron layout — the all-reduce after ffn_out is inserted by XLA).
+    Attention q/k/v kernels are column-sharded (heads split), attn_out
+    row-sharded. Everything else replicated.
+
+    SURVEY.md §2.6 marks TP optional for the <=560M encoder; this provides it
+    for pods where the encoder's weights/activations dominate HBM.
+    """
+
+    col = NamedSharding(mesh, P(None, "model"))  # [in, out] split on out
+    row = NamedSharding(mesh, P("model", None))  # [in, out] split on in
+    rep = replicated(mesh)
+
+    def place(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(names)
+        if "kernel" in joined:
+            if any(n in joined for n in ("ffn_in", "q/", "k/", "v/")) or joined.endswith(("q/kernel", "k/kernel", "v/kernel")):
+                return jax.device_put(leaf, col)
+            if "ffn_out" in joined or "attn_out" in joined:
+                return jax.device_put(leaf, row)
+        return jax.device_put(leaf, rep)
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def make_sharded_scoring_fn(mesh: Mesh, tower_apply: Callable) -> Callable:
     """Jitted eval scoring over the mesh: tower forward on data-sharded history
     batches against the model-sharded table, then flat cosine scores for

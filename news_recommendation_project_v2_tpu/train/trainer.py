@@ -462,8 +462,13 @@ class EndToEndTrainer:
         exp_name: str = "",
         buckets: tuple[int, ...] = HISTORY_BUCKETS,
         max_token_len: int = 512,
+        remote_sync: Optional[Callable[[Path], None]] = None,
     ):
         assert len(compiled_train.hist_lens) == compiled_train.num_rows
+        # remote_sync generalizes the reference's hardcoded Azure Blob upload of
+        # epoch checkpoints (trainer.py:1007-1015,1172-1197): any callable
+        # receiving the local checkpoint path (rsync, gcs upload, ...).
+        self.remote_sync = remote_sync
         self.params = {"token_encoder": token_encoder_params, "tower": tower_params}
         self.token_encoder_apply = token_encoder_apply
         self.tower_apply = tower_apply
@@ -582,7 +587,10 @@ class EndToEndTrainer:
                 from .checkpoint import save_pytree
 
                 self.best.ckpt_dir.mkdir(parents=True, exist_ok=True)
-                save_pytree(self.best.ckpt_dir / f"Epoch_{epoch}", self.params)
+                ckpt_path = self.best.ckpt_dir / f"Epoch_{epoch}"
+                save_pytree(ckpt_path, self.params)
+                if self.remote_sync is not None:
+                    self.remote_sync(ckpt_path)
         return self.history
 
     def materialize_news_embeddings(self, batch_size: int = 64) -> np.ndarray:

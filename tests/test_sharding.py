@@ -124,6 +124,45 @@ def test_data_only_mesh(rng):
     assert mesh.shape == {"data": 8, "model": 1}
 
 
+def test_encoder_tp_sharding_matches(mesh, rng):
+    from news_recommendation_project_v2_tpu.config import EncoderConfig
+    from news_recommendation_project_v2_tpu.models.news_encoder import (
+        HashTokenizer,
+        NewsEncoder,
+    )
+    from news_recommendation_project_v2_tpu.parallel.sharding import (
+        shard_encoder_params_tp,
+    )
+
+    cfg = EncoderConfig(
+        vocab_size=96,
+        hidden_dim=32,
+        num_layers=2,
+        num_heads=2,
+        intermediate_dim=64,
+        max_position=20,
+        compute_dtype="float32",
+    )
+    enc = NewsEncoder(cfg)
+    tok = HashTokenizer(vocab_size=96, max_length=12)
+    ids, mask = tok(["alpha beta gamma delta", "tiny text"])
+    params = jax.jit(
+        lambda: enc.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(mask))
+    )()
+    plain = jax.jit(enc.apply)(params, jnp.asarray(ids), jnp.asarray(mask))
+    tp_params = shard_encoder_params_tp(mesh, params)
+    # At least some kernels must actually be sharded.
+    shardings = [
+        leaf.sharding
+        for leaf in jax.tree.leaves(tp_params)
+        if hasattr(leaf, "sharding")
+    ]
+    assert any(not s.is_fully_replicated for s in shardings)
+    with mesh:
+        tp_out = jax.jit(enc.apply)(tp_params, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(tp_out), atol=1e-5)
+
+
 def test_sequence_sharded_tower_matches(mesh, rng):
     from news_recommendation_project_v2_tpu.parallel import (
         make_sequence_sharded_tower_fn,
