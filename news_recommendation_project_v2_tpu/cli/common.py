@@ -27,6 +27,10 @@ def build_context(
         "behaviors": ds.behaviors,
         "news_text_dict": ds.news_text,
         "dataset_name": dataset.value,
+        "news_category": ds.news_category,
+        "news_subcategory": ds.news_subcategory,
+        "news_title_entity": ds.news_title_entity,
+        "news_abstract_entity": ds.news_abstract_entity,
     }
 
 

@@ -34,16 +34,41 @@ from .pipeline import PipelineComponent
 
 class TransformDataComponent(PipelineComponent):
     """behaviors DataFrame -> CompiledBehaviors (reference ``TransformData``,
-    ``components.py:45-114``). Drops the raw frame from the context."""
+    ``components.py:45-114``). Drops the raw frame from the context.
+
+    When per-news feature dicts are present (from ``data.ingest.load_dataset``),
+    also materializes arrays aligned to ``compiled.news_ids``: category /
+    subcategory ids and mean title/abstract entity vectors (the reference emits
+    the same tensors, ``components.py:75-108``)."""
 
     required_keys = {"behaviors"}
 
     def transform(self, context: dict[str, Any]) -> dict[str, Any]:
         behaviors = context.pop("behaviors")
-        context["compiled"] = compile_behaviors(
+        compiled = compile_behaviors(
             behaviors["Impressions"].tolist(), behaviors["History"].tolist()
         )
+        context["compiled"] = compiled
         context["imp_ids"] = behaviors["ImpressionID"].to_numpy()
+        for key, dtype in (
+            ("news_category", np.int32),
+            ("news_subcategory", np.int32),
+        ):
+            if key in context:
+                lut = context.pop(key)
+                context[key + "_ids"] = np.array(
+                    [lut.get(n, 0) for n in compiled.news_ids], dtype=dtype
+                )
+        for key in ("news_title_entity", "news_abstract_entity"):
+            if key in context:
+                lut = context.pop(key)
+                any_vec = next(iter(lut.values()))
+                context[key + "_vecs"] = np.stack(
+                    [
+                        np.asarray(lut.get(n, np.zeros_like(any_vec)))
+                        for n in compiled.news_ids
+                    ]
+                ).astype(np.float32)
         return context
 
 

@@ -262,3 +262,34 @@ def make_classification_train_step(
         return optax.apply_updates(params, updates), new_opt_state, loss
 
     return step
+
+
+def make_classification_infonce_step(
+    head_apply: Callable,
+    optimizer: optax.GradientTransformation,
+    temperature: float = 1.0,
+) -> Callable:
+    """InfoNCE step for the content scorer: pos vs K negatives' head scores
+    (reference ``ClassificationTrainInfoNCEDataset``, ``data_utils.py:648-685``,
+    wired-but-disabled)."""
+    from .losses import infonce_loss
+
+    def step(params, opt_state, news_emb, pos_idx, neg_idx, pair_mask):
+        # neg_idx: [B, K] with -1 padding.
+        def loss_fn(p):
+            pos_scores = head_apply(p, news_emb[pos_idx])[:, 0]
+            neg_valid = (neg_idx >= 0).astype(jnp.float32)
+            safe_neg = jnp.maximum(neg_idx, 0)
+            b, k = neg_idx.shape
+            neg_scores = head_apply(
+                p, news_emb[safe_neg.reshape(-1)]
+            )[:, 0].reshape(b, k)
+            return infonce_loss(
+                pos_scores, neg_scores, neg_valid, temperature, pair_mask
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, loss
+
+    return step

@@ -653,10 +653,20 @@ class ClassificationTrainer:
         self.best = BestTracker(ckpt_dir, exp_name)
         self.history: list[dict] = []
 
-        self._train_step = jax.jit(
-            make_classification_train_step(head_apply, self.optimizer, cfg.margin),
-            donate_argnums=(0, 1),
-        )
+        if cfg.loss == "infonce":
+            from .step import make_classification_infonce_step
+
+            self._train_step = jax.jit(
+                make_classification_infonce_step(head_apply, self.optimizer),
+                donate_argnums=(0, 1),
+            )
+        else:
+            self._train_step = jax.jit(
+                make_classification_train_step(
+                    head_apply, self.optimizer, cfg.margin
+                ),
+                donate_argnums=(0, 1),
+            )
 
         @functools.partial(jax.jit)
         def _predict(params, news_emb):
@@ -666,18 +676,41 @@ class ClassificationTrainer:
 
     def train_one_epoch(self) -> float:
         cfg = self.cfg
-        pairs = sample_pos_neg_pairs(
-            self.rng, self.ct.imp_rev, self.ct.imp_lens, self.ct.labels_flat
-        )
+        if cfg.loss == "infonce":
+            from ..data.sampling import sample_pos_neg_infonce
+
+            raw = sample_pos_neg_infonce(
+                self.rng,
+                self.ct.imp_rev,
+                self.ct.imp_lens,
+                self.ct.labels_flat,
+                cfg.num_neg_per_pos,
+            )
+            pairs = np.concatenate([raw[:1], raw[-1:]], axis=0)
+            negs = raw[1:-1]
+        else:
+            pairs = sample_pos_neg_pairs(
+                self.rng, self.ct.imp_rev, self.ct.imp_lens, self.ct.labels_flat
+            )
+            negs = None
         perm = self.rng.permutation(pairs.shape[1])
         pairs = pairs[:, perm]
+        if negs is not None:
+            negs = negs[:, perm]
         B = cfg.batch_size
         losses, counts = [], []
         for start in range(0, pairs.shape[1], B):
             stop = min(start + B, pairs.shape[1])
             pad = B - (stop - start)
             pos = np.pad(pairs[0, start:stop].astype(np.int32), (0, pad))
-            neg = np.pad(pairs[1, start:stop].astype(np.int32), (0, pad))
+            if negs is not None:
+                neg = np.pad(
+                    negs[:, start:stop].T.astype(np.int32),
+                    ((0, pad), (0, 0)),
+                    constant_values=-1,
+                )
+            else:
+                neg = np.pad(pairs[1, start:stop].astype(np.int32), (0, pad))
             mask = np.pad(np.ones(stop - start, np.float32), (0, pad))
             self.params, self.opt_state, loss = self._train_step(
                 self.params,
