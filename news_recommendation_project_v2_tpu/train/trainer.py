@@ -268,6 +268,40 @@ class TowerTrainer:
         )
         return train_scores, val_scores
 
+    # ------------------------------------------------------------------
+    # Preemption-safe resume (SURVEY.md §5 failure detection: the TPU-native
+    # recovery story is deterministic sharded steps + restartable state).
+    # ------------------------------------------------------------------
+
+    def save_training_state(self, path: Path) -> None:
+        """Persist params + optimizer state + epoch count for resume."""
+        from .checkpoint import save_pytree
+
+        save_pytree(
+            Path(path),
+            {
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "epochs_done": len(self.history),
+            },
+        )
+
+    def restore_training_state(self, path: Path) -> int:
+        """Restore params/opt_state; returns the number of completed epochs."""
+        from .checkpoint import load_pytree
+
+        state = load_pytree(
+            Path(path),
+            like={
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "epochs_done": 0,
+            },
+        )
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        return int(state["epochs_done"])
+
     def train(self, num_epochs: Optional[int] = None) -> list[dict]:
         num_epochs = num_epochs or self.cfg.num_epochs
         for epoch in range(1, num_epochs + 1):
