@@ -103,6 +103,21 @@ def make_sequence_sharded_tower_fn(mesh: Mesh, tower_apply: Callable) -> Callabl
     return jax.jit(fn, in_shardings=(rep, seq3, seq2), out_shardings=out)
 
 
+def make_sharded_encode_fn(mesh: Mesh, encoder_apply: Callable) -> Callable:
+    """Data-parallel corpus encoding over the mesh: token batches sharded over
+    ``data``, params replicated, pooled embeddings returned data-sharded (the
+    "sharded encode -> dump" stage of the multi-host pipeline, BASELINE
+    config[4])."""
+    rep = replicated(mesh)
+    dat2 = NamedSharding(mesh, P("data", None))
+    dat = batch_sharding(mesh, 2)
+
+    def fn(params, ids, mask):
+        return encoder_apply(params, ids, mask)
+
+    return jax.jit(fn, in_shardings=(rep, dat2, dat2), out_shardings=dat)
+
+
 def shard_encoder_params_tp(mesh: Mesh, params) -> object:
     """Tensor-parallel layout for NewsEncoder params: FFN in-projection kernels
     column-sharded and out-projection kernels row-sharded over ``model``

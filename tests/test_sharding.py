@@ -124,6 +124,39 @@ def test_data_only_mesh(rng):
     assert mesh.shape == {"data": 8, "model": 1}
 
 
+def test_sharded_encode_matches(mesh, rng):
+    from news_recommendation_project_v2_tpu.config import EncoderConfig
+    from news_recommendation_project_v2_tpu.models.news_encoder import (
+        HashTokenizer,
+        NewsEncoder,
+    )
+    from news_recommendation_project_v2_tpu.parallel.sharding import (
+        make_sharded_encode_fn,
+    )
+
+    cfg = EncoderConfig(
+        vocab_size=96,
+        hidden_dim=32,
+        num_layers=1,
+        num_heads=2,
+        intermediate_dim=64,
+        max_position=20,
+        compute_dtype="float32",
+    )
+    enc = NewsEncoder(cfg)
+    tok = HashTokenizer(vocab_size=96, max_length=12)
+    texts = [f"document number {i}" for i in range(8)]  # divisible by data=4
+    ids, mask = tok(texts)
+    params = jax.jit(
+        lambda: enc.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(mask))
+    )()
+    plain = jax.jit(enc.apply)(params, jnp.asarray(ids), jnp.asarray(mask))
+    fn = make_sharded_encode_fn(mesh, lambda p, i, m: enc.apply(p, i, m))
+    sharded = fn(params, jnp.asarray(ids), jnp.asarray(mask.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded), atol=1e-5)
+    assert not sharded.sharding.is_fully_replicated
+
+
 def test_encoder_tp_sharding_matches(mesh, rng):
     from news_recommendation_project_v2_tpu.config import EncoderConfig
     from news_recommendation_project_v2_tpu.models.news_encoder import (
