@@ -72,6 +72,17 @@ def bucket_for(length: int, buckets: tuple[int, ...]) -> int:
     return buckets[-1]
 
 
+def bucket_for_open(length: int, buckets: tuple[int, ...]) -> int:
+    """Like ``bucket_for`` but open-ended: lengths beyond the last bucket round
+    UP to the next multiple of it (never truncates — for axes where dropping
+    items would be a correctness bug, e.g. a batch's unique-news union)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    step = buckets[-1]
+    return -(-length // step) * step
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh axes for pjit/shard_map sharding.
@@ -92,7 +103,7 @@ class TowerConfig:
     """User-tower architecture (capability of reference ``modeling_utils.py:175-228``,
     ``attention.py:210-272``, ``latent_attention.py:77-171``)."""
 
-    kind: str = "latent"  # mlp_head | final_attention | transformer | latent
+    kind: str = "latent"  # final_attention | transformer | latent
     embedding_dim: int = EMBEDDING_DIM
     reduced_dim: int = REDUCED_DIM
     hidden_dim: int = 4096

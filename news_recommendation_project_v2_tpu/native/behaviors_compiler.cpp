@@ -20,6 +20,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <string>
 #include <string_view>
 #include <unordered_map>
@@ -28,23 +29,25 @@
 namespace {
 
 struct Compiled {
-  std::vector<std::string> news_list;
+  std::deque<std::string> news_list;  // deque: elements never relocate
   std::vector<int32_t> imp_rev, imp_row, imp_lens;
   std::vector<int32_t> hist_rev, hist_row, hist_lens, hist_row_index;
   std::vector<int8_t> labels;
   bool label_present = false;
 };
 
-// string_view keys into per-row buffers are only valid during the row, so the
-// map stores owned strings; lookups go through a transparent-ish double probe.
+// Interned string table. The map's string_view keys point INTO the owned
+// std::string elements of a std::deque — a deque never relocates elements on
+// growth, so the views stay valid (a vector<std::string> would relocate SSO
+// strings on reallocation and dangle every key).
 class StringTable {
  public:
-  int32_t intern(std::string_view token, std::vector<std::string>& out) {
+  int32_t intern(std::string_view token, std::deque<std::string>& out) {
     auto it = map_.find(token);
     if (it != map_.end()) return it->second;
     out.emplace_back(token);
     int32_t id = static_cast<int32_t>(out.size() - 1);
-    map_.emplace(out.back(), id);  // key views into the stable vector element
+    map_.emplace(std::string_view(out.back()), id);
     return id;
   }
 
@@ -109,7 +112,6 @@ PyObject* compile_behaviors(PyObject*, PyObject* args) {
 
   Compiled c;
   StringTable table;
-  c.news_list.reserve(static_cast<size_t>(n) * 2);
 
   {
     std::string_view first;

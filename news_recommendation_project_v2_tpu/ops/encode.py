@@ -86,27 +86,64 @@ def encode_query_and_passage(
 
 
 def save_embeddings(
-    save_dir: Path, dataset_name: str, embeddings: np.ndarray,
+    save_dir: Path,
+    dataset_name: str,
+    embeddings: np.ndarray,
     query_embeddings: Optional[np.ndarray] = None,
+    news_ids: Optional[np.ndarray] = None,
 ) -> None:
     """The save_emb dump (reference ``components.py:193-223`` writes
-    ``{dataset}.pt`` / ``query_{dataset}.pt``)."""
+    ``{dataset}.pt`` / ``query_{dataset}.pt``). Passing ``news_ids`` writes the
+    row->news-id key alongside, making the dump order-independent: loads can
+    realign to any compiled row order (the reference's purely positional dumps
+    silently misalign when the loading run uses a different row subset)."""
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     np.save(save_dir / f"{dataset_name}.npy", np.asarray(embeddings))
     if query_embeddings is not None:
         np.save(save_dir / f"query_{dataset_name}.npy", np.asarray(query_embeddings))
+    if news_ids is not None:
+        np.save(save_dir / f"{dataset_name}_ids.npy", np.asarray(news_ids, dtype=np.str_))
 
 
 def load_embeddings(
-    save_dir: Path, dataset_name: str, with_query: bool = False
+    save_dir: Path,
+    dataset_name: str,
+    with_query: bool = False,
+    align_to_news_ids: Optional[np.ndarray] = None,
 ):
-    """Reference ``LoadEmbeddingComponent`` (``components.py:226-258``)."""
+    """Reference ``LoadEmbeddingComponent`` (``components.py:226-258``).
+
+    With ``align_to_news_ids`` (and an id-keyed dump) the rows are reordered to
+    that news-id order; a KeyError names any id missing from the dump.
+    """
     save_dir = Path(save_dir)
     emb = np.load(save_dir / f"{dataset_name}.npy")
+    query = (
+        np.load(save_dir / f"query_{dataset_name}.npy") if with_query else None
+    )
+    if align_to_news_ids is not None:
+        ids_path = save_dir / f"{dataset_name}_ids.npy"
+        if not ids_path.exists():
+            raise FileNotFoundError(
+                f"{ids_path} missing: this dump is positional-only and cannot "
+                "be realigned; re-run save_emb to write the id key"
+            )
+        dump_ids = np.load(ids_path)
+        row_of = {str(n): i for i, n in enumerate(dump_ids)}
+        try:
+            order = np.array([row_of[str(n)] for n in align_to_news_ids])
+        except KeyError as e:
+            raise KeyError(
+                f"news id {e.args[0]!r} not present in embedding dump "
+                f"{dataset_name!r}"
+            ) from None
+        emb = emb[order]
+        if query is not None:
+            query = query[order]
     if not with_query:
         return emb
-    return emb, np.load(save_dir / f"query_{dataset_name}.npy")
+    return emb, query
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +204,44 @@ class TokenStore:
             else np.zeros((0, 0), np.float32)
         )
         return cls(states=states, offsets=offsets)
+
+
+def materialize_from_token_store(
+    token_encoder_apply: Callable,  # (params, [B,T,D], [B,T]) -> [B,D]
+    params,
+    store: "TokenStore",
+    batch_size: int = 64,
+    max_token_len: int = 512,
+    token_buckets: tuple[int, ...] = (64, 128, 256, 512),
+) -> np.ndarray:
+    """Run a (learned) token encoder over the whole store -> [N, D] news
+    embedding matrix (reference ``apply_token_attn`` + ``store_embeddings``,
+    ``data_model_helper.py:374-413``)."""
+    from ..config import bucket_for_open
+
+    n = store.num_items
+    out = []
+    apply = jax.jit(lambda p, s, m: token_encoder_apply(p, s, m))
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        states, mask = store.gather_padded(idx, max_len=max_token_len)
+        T = bucket_for_open(states.shape[1], token_buckets)
+        states = np.pad(
+            states,
+            (
+                (0, batch_size - len(idx)),
+                (0, max(0, T - states.shape[1])),
+                (0, 0),
+            ),
+        )
+        mask = np.pad(
+            mask,
+            ((0, batch_size - len(idx)), (0, max(0, T - mask.shape[1]))),
+        )
+        mask[len(idx):, 0] = 1.0  # keep pad rows non-degenerate
+        vecs = np.asarray(apply(params, jnp.asarray(states), jnp.asarray(mask)))
+        out.append(vecs[: len(idx)])
+    return np.concatenate(out)
 
 
 def build_token_store(

@@ -132,10 +132,14 @@ def _bucket_plan(
             batch = batch_size
         n_pad = -(-len(rows) // batch) * batch
         pad = n_pad - len(rows)
-        starts = np.pad(offsets[rows].astype(np.int32), (0, pad))
-        lens = np.pad(
-            np.minimum(hist_lens[rows], bucket_len).astype(np.int32), (0, pad)
+        lens_capped = np.minimum(hist_lens[rows], bucket_len).astype(np.int64)
+        # End-aligned: rows longer than the bucket keep their most RECENT
+        # clicks (MIND histories are chronological; the reference never
+        # truncates, so dropping the oldest is the faithful approximation).
+        starts = np.pad(
+            (offsets[rows + 1] - lens_capped).astype(np.int32), (0, pad)
         )
+        lens = np.pad(lens_capped.astype(np.int32), (0, pad))
         rows_padded = np.pad(
             rows, (0, pad), constant_values=len(hist_lens)  # OOB -> dropped
         )

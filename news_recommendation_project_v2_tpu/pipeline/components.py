@@ -113,11 +113,11 @@ class EmbeddingsComponent(PipelineComponent):
 
 @dataclasses.dataclass
 class SaveEmbeddingComponent(PipelineComponent):
-    """reference ``components.py:178-223``."""
+    """reference ``components.py:178-223`` (dump is id-keyed here)."""
 
     save_dir: Path
     dataset_name: str
-    required_keys = {"news_embeddings"}
+    required_keys = {"news_embeddings", "compiled"}
 
     def transform(self, context):
         save_embeddings(
@@ -125,28 +125,37 @@ class SaveEmbeddingComponent(PipelineComponent):
             self.dataset_name,
             context["news_embeddings"],
             context.get("query_news_embeddings"),
+            news_ids=context["compiled"].news_ids,
         )
         return context
 
 
 @dataclasses.dataclass
 class LoadEmbeddingComponent(PipelineComponent):
-    """reference ``components.py:226-258``."""
+    """reference ``components.py:226-258``. Rows are realigned to the current
+    context's compiled news-id order via the dump's id key, so the dump's row
+    subset/order need not match this run's (the reference's positional load
+    silently misaligns across subsets)."""
 
     save_dir: Path
     dataset_name: str
     with_query: bool = True
+    required_keys = {"compiled"}
 
     def transform(self, context):
+        align = context["compiled"].news_ids
         if self.with_query:
             emb, query = load_embeddings(
-                self.save_dir, self.dataset_name, with_query=True
+                self.save_dir,
+                self.dataset_name,
+                with_query=True,
+                align_to_news_ids=align,
             )
             context["news_embeddings"] = emb
             context["query_news_embeddings"] = query
         else:
             context["news_embeddings"] = load_embeddings(
-                self.save_dir, self.dataset_name
+                self.save_dir, self.dataset_name, align_to_news_ids=align
             )
         return context
 
@@ -612,32 +621,13 @@ class TokenEmbeddingsComponent(PipelineComponent):
     cacheable = False
 
     def transform(self, context):
-        from ..config import bucket_for
+        from ..ops.encode import materialize_from_token_store
 
-        store = context["token_store"]
-        n = store.num_items
-        out = []
-        apply = jax.jit(lambda p, s, m: self.token_encoder_apply(p, s, m))
-        for start in range(0, n, self.batch_size):
-            idx = np.arange(start, min(start + self.batch_size, n))
-            states, mask = store.gather_padded(idx, max_len=self.max_token_len)
-            T = bucket_for(states.shape[1], (64, 128, 256, 512))
-            states = np.pad(
-                states[:, :T],
-                (
-                    (0, self.batch_size - len(idx)),
-                    (0, max(0, T - states.shape[1])),
-                    (0, 0),
-                ),
-            )
-            mask = np.pad(
-                mask[:, :T],
-                ((0, self.batch_size - len(idx)), (0, max(0, T - mask.shape[1]))),
-            )
-            mask[len(idx):, 0] = 1.0
-            vecs = np.asarray(
-                apply(self.token_encoder_params, jnp.asarray(states), jnp.asarray(mask))
-            )
-            out.append(vecs[: len(idx)])
-        context["news_embeddings"] = np.concatenate(out)
+        context["news_embeddings"] = materialize_from_token_store(
+            self.token_encoder_apply,
+            self.token_encoder_params,
+            context["token_store"],
+            batch_size=self.batch_size,
+            max_token_len=self.max_token_len,
+        )
         return context

@@ -5,8 +5,10 @@ Capability parity with the reference pipeline kernel (``pipeline.py:8-90``):
 and a ``Pipeline`` running named steps over (context, val_context) with per-step
 caching. Fixes the reference's stale-cache quirk — its cache key is only
 ``{pipeline}_{step}`` (``pipeline.py:55-58``), so code or data changes silently
-reuse stale artifacts; here the key also hashes each component's declared
-configuration (``cache_token``), and components can opt out entirely.
+reuse stale artifacts; here the key chains (a) a cheap content fingerprint of
+the ENTRY context (dataset identity, array shapes + sampled contents) with
+(b) every component's declared configuration up to the current step, and
+components can opt out entirely.
 """
 
 from __future__ import annotations
@@ -16,6 +18,47 @@ import pickle
 from abc import ABC, abstractmethod
 from pathlib import Path
 from typing import Any, Iterable, Optional
+
+import numpy as np
+
+
+def _digest_value(h: "hashlib._Hash", value: Any) -> None:
+    """Cheap, stable content digest: full identity for scalars/strings, shape +
+    dtype + strided sample for arrays/frames (hashing 65k x 1024 floats fully
+    would dominate small runs)."""
+    h.update(type(value).__name__.encode())
+    if isinstance(value, (str, int, float, bool, bytes, Path)) or value is None:
+        h.update(repr(value).encode())
+    elif isinstance(value, np.ndarray):
+        h.update(str((value.shape, value.dtype)).encode())
+        if value.size:
+            sample = np.ascontiguousarray(
+                value.reshape(-1)[:: max(1, value.size // 256)]
+            )
+            h.update(sample.tobytes() if sample.dtype != object else repr(sample[:8].tolist()).encode())
+    elif hasattr(value, "__dataclass_fields__"):
+        for f in value.__dataclass_fields__:
+            _digest_value(h, getattr(value, f))
+    elif hasattr(value, "shape") and hasattr(value, "columns"):  # DataFrame
+        h.update(str((value.shape, list(value.columns))).encode())
+        if len(value):
+            h.update(value.head(3).to_csv().encode())
+            h.update(value.tail(3).to_csv().encode())
+    elif isinstance(value, dict):
+        h.update(str(len(value)).encode())
+        for k in list(value)[:5]:
+            h.update(repr(k).encode())
+            _digest_value(h, value[k])
+    else:
+        h.update(repr(type(value)).encode())
+
+
+def fingerprint_context(context: dict[str, Any]) -> str:
+    h = hashlib.sha256()
+    for key in sorted(context):
+        h.update(key.encode())
+        _digest_value(h, context[key])
+    return h.hexdigest()[:16]
 
 
 def check_req_keys(required_keys: set[str], context: dict[str, Any]) -> None:
@@ -62,10 +105,12 @@ class Pipeline:
         if use_cache:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
 
-    def _cache_path(self, step_name: str, component: PipelineComponent) -> Path:
+    def _cache_path(
+        self, step_name: str, component: PipelineComponent, chain: str
+    ) -> Path:
         token = hashlib.sha256(
             f"{self.name}|{step_name}|{type(component).__name__}|"
-            f"{component.cache_token()}".encode()
+            f"{component.cache_token()}|{chain}".encode()
         ).hexdigest()[:16]
         return self.cache_dir / f"{self.name}_{step_name}_{token}.pkl"
 
@@ -75,10 +120,17 @@ class Pipeline:
         val_context: Optional[dict[str, Any]],
         training: bool,
     ):
+        # Chain key: entry-data fingerprint, folded with each step's config.
+        chain = fingerprint_context(context)
+        if val_context is not None:
+            chain += fingerprint_context(val_context)
         for step_name, component in self._steps:
             print(f"Starting step {step_name}")
+            chain = hashlib.sha256(
+                f"{chain}|{type(component).__name__}|{component.cache_token()}".encode()
+            ).hexdigest()[:16]
             cache_file = (
-                self._cache_path(step_name, component)
+                self._cache_path(step_name, component, chain)
                 if self.use_cache and component.cacheable
                 else None
             )

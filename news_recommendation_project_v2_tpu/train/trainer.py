@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import HISTORY_BUCKETS, TrainConfig, bucket_for
+from ..config import HISTORY_BUCKETS, TrainConfig, bucket_for, bucket_for_open
 from ..data.compiler import CompiledBehaviors
 from ..data.grouping import lengths_to_offsets
 from ..data.sampling import batch_aligned_permutation, sample_pos_neg_pairs
@@ -201,7 +201,8 @@ class TowerTrainer:
             for j, row in enumerate(uniq_rows):
                 a, b = offsets[row], offsets[row + 1]
                 ln = min(int(b - a), L)
-                hist_idx[j, :ln] = self.ct.hist_rev[a : a + ln]
+                # Keep the most recent ln clicks when capping to the bucket.
+                hist_idx[j, :ln] = self.ct.hist_rev[b - ln : b]
                 hist_mask[j, :ln] = 1.0
             pad = B - (stop - start)
             neg_padded = (
@@ -365,6 +366,11 @@ class JointTowerTrainer(TowerTrainer):
         baseline_val: Optional[np.ndarray] = None,
         **kwargs,
     ):
+        cfg = kwargs.get("cfg", TrainConfig())
+        assert cfg.loss != "infonce", (
+            "JointTowerTrainer supports margin-ranking only (the reference's "
+            "joint trainers are margin-only too); use TowerTrainer for InfoNCE"
+        )
         joint_params = {"tower": tower_params}
         if blend_apply is not None:
             assert blend_params is not None and baseline_train is not None
@@ -553,7 +559,8 @@ class EndToEndTrainer:
             ]
             all_news = np.concatenate(hist_slices + [pos, neg])
             uniq_news, inv = np.unique(all_news, return_inverse=True)
-            M = bucket_for(len(uniq_news), self.UNIQUE_BUCKETS)
+            # Open-ended: a batch's unique-news union must never be truncated.
+            M = bucket_for_open(len(uniq_news), self.UNIQUE_BUCKETS)
             tok_states, tok_mask = self.store.gather_padded(
                 uniq_news, max_len=self.max_token_len
             )
@@ -577,7 +584,7 @@ class EndToEndTrainer:
             hist_mask = np.zeros((B, L), np.float32)
             for j, h in enumerate(hist_rel):
                 ln = min(len(h), L)
-                hist_idx[j, :ln] = h[:ln]
+                hist_idx[j, :ln] = h[len(h) - ln :]  # keep most recent clicks
                 hist_mask[j, :ln] = 1.0
             pad = B - (stop - start)
             yield (
@@ -628,26 +635,18 @@ class EndToEndTrainer:
         return self.history
 
     def materialize_news_embeddings(self, batch_size: int = 64) -> np.ndarray:
-        """Run the learned token encoder over the whole store -> [N, D] news
-        embedding matrix (reference ``apply_token_attn`` + ``store_embeddings``,
-        ``data_model_helper.py:374-413``)."""
-        n = self.store.num_items
-        out = []
-        apply = jax.jit(
-            lambda p, s, m: self.token_encoder_apply(p, s, m)
+        """Learned token encoder over the whole store -> [N, D] news embeddings
+        (reference ``apply_token_attn``; shared helper in ``ops.encode``)."""
+        from ..ops.encode import materialize_from_token_store
+
+        return materialize_from_token_store(
+            self.token_encoder_apply,
+            self.params["token_encoder"],
+            self.store,
+            batch_size=batch_size,
+            max_token_len=self.max_token_len,
+            token_buckets=self.TOKEN_BUCKETS,
         )
-        for start in range(0, n, batch_size):
-            idx = np.arange(start, min(start + batch_size, n))
-            states, mask = self.store.gather_padded(idx, max_len=self.max_token_len)
-            T = bucket_for(states.shape[1], self.TOKEN_BUCKETS)
-            states = np.pad(states[:, :T], ((0, batch_size - len(idx)), (0, max(0, T - states.shape[1])), (0, 0)))
-            mask = np.pad(mask[:, :T], ((0, batch_size - len(idx)), (0, max(0, T - mask.shape[1]))))
-            mask[len(idx):, 0] = 1.0
-            vecs = np.asarray(
-                apply(self.params["token_encoder"], jnp.asarray(states), jnp.asarray(mask))
-            )
-            out.append(vecs[: len(idx)])
-        return np.concatenate(out)
 
 
 # ---------------------------------------------------------------------------
