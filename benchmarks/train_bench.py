@@ -1,0 +1,74 @@
+"""Training-step throughput benchmark (supplementary to the driver-facing
+bench.py): pairs/second through the jitted margin-ranking step with the
+full-size latent tower on the available accelerator.
+
+    python benchmarks/train_bench.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from news_recommendation_project_v2_tpu.config import TowerConfig, TrainConfig
+from news_recommendation_project_v2_tpu.models import build_tower
+from news_recommendation_project_v2_tpu.train.step import make_tower_train_step
+from news_recommendation_project_v2_tpu.train.trainer import make_optimizer
+
+NUM_NEWS, DIM = 65_238, 1024
+B, L = 512, 64  # pairs per step, history bucket
+
+
+def main():
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    tower = build_tower(TowerConfig(kind="latent"))
+    cfg = TrainConfig()
+    params = jax.jit(
+        lambda: tower.init(jax.random.key(0), jnp.zeros((1, L, DIM)), jnp.ones((1, L)))
+    )()
+    optimizer = make_optimizer(cfg)
+    opt_state = jax.jit(optimizer.init)(params)
+    step = jax.jit(
+        make_tower_train_step(tower.apply, optimizer, cfg.margin),
+        donate_argnums=(0, 1),
+    )
+
+    emb = jax.jit(lambda k: jax.random.normal(k, (NUM_NEWS, DIM)))(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    hist_idx = jnp.asarray(rng.integers(0, NUM_NEWS, (B, L)).astype(np.int32))
+    hist_mask = jnp.asarray((rng.random((B, L)) < 0.6).astype(np.float32))
+    hist_rev = jnp.asarray(rng.integers(0, B, B).astype(np.int32))
+    pos = jnp.asarray(rng.integers(0, NUM_NEWS, B).astype(np.int32))
+    neg = jnp.asarray(rng.integers(0, NUM_NEWS, B).astype(np.int32))
+    pmask = jnp.ones(B, jnp.float32)
+    key = jax.random.key(1)
+
+    # Warmup/compile.
+    params, opt_state, loss = step(
+        params, opt_state, emb, emb, hist_idx, hist_mask, hist_rev, pos, neg, pmask, key
+    )
+    steps = 30
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt_state, loss = step(
+            params, opt_state, emb, emb, hist_idx, hist_mask, hist_rev, pos, neg, pmask, key
+        )
+        final = float(loss)  # per-step sync: deep async queues behave badly
+        # on tunneled links, and real training reads the loss anyway
+    dt = time.perf_counter() - t0
+    print(
+        f"{steps} steps of {B} pairs x {L} history: {dt:.2f}s "
+        f"-> {steps / dt:.1f} steps/s, {steps * B / dt:,.0f} pairs/s "
+        f"(loss {final:.4f})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,14 @@ def main(argv=None):
     parser.add_argument("--train", default="MINDsmall_train", choices=NewsDataset._member_names_)
     parser.add_argument("--dev", default="MINDsmall_dev", choices=NewsDataset._member_names_)
     parser.add_argument("--emb-dir", type=Path, default=Path("embeddings"))
+    parser.add_argument(
+        "--encode-inline",
+        action="store_true",
+        help="encode news texts inside the pipeline instead of loading a dump "
+        "(the reference's scripts/train.py full-from-raw-text configuration)",
+    )
+    parser.add_argument("--hf-checkpoint", type=Path, default=None)
+    parser.add_argument("--max-length", type=int, default=128)
     parser.add_argument("--tower", default="latent", choices=["latent", "final_attention", "transformer"])
     parser.add_argument("--epochs", type=int, default=5)
     parser.add_argument("--cls-epochs", type=int, default=1)
@@ -61,14 +69,43 @@ def main(argv=None):
         learning_rate=args.lr, num_epochs=args.epochs, batch_size=args.batch_size
     )
 
+    if args.encode_inline:
+        from ..config import QUERY_INSTRUCTION, EncoderConfig
+        from ..pipeline import EmbeddingsComponent
+        from .common import build_encoder
+
+        enc_cfg = (
+            EncoderConfig(
+                vocab_size=5003,
+                hidden_dim=args.dim,
+                num_layers=2,
+                num_heads=4,
+                intermediate_dim=2 * args.dim,
+                max_position=args.max_length + 2,
+            )
+            if args.dim
+            else None
+        )
+        enc, tok, enc_params = build_encoder(
+            args.hf_checkpoint, enc_cfg, args.max_length
+        )
+        embedding_step = (
+            "embed",
+            EmbeddingsComponent(
+                lambda p, i, m: enc.apply(p, i, m),
+                enc_params,
+                lambda texts: tok(texts, max_length=args.max_length),
+                QUERY_INSTRUCTION,
+            ),
+        )
+    else:
+        embedding_step = ("load_embedding", _PerSplitLoad(args.emb_dir))
+
     pipe = Pipeline(
         name=f"train_{exp_name}",
         steps=[
             ("init_transform", TransformDataComponent()),
-            (
-                "load_embedding",
-                _PerSplitLoad(args.emb_dir),
-            ),
+            embedding_step,
             (
                 "classification",
                 ClassificationComponent(

@@ -231,10 +231,11 @@ class TowerTrainer:
                 *map(jnp.asarray, batch),
                 sub,
             )
-            losses.append(loss)
+            # Sync per step: unbounded async queues stall badly on tunneled
+            # devices, and the loss is consumed every step anyway.
+            losses.append(float(loss))
             counts.append(float(batch[5].sum()))
         # Weighted epoch loss (reference trainer.py:635).
-        losses = [float(l) for l in losses]
         return float(np.dot(losses, counts) / np.sum(counts))
 
     # ------------------------------------------------------------------
@@ -421,9 +422,8 @@ class JointTowerTrainer(TowerTrainer):
                 jnp.asarray(baseline[neg].astype(np.float32)),
                 sub,
             )
-            losses.append(loss)
+            losses.append(float(loss))  # per-step sync (see TowerTrainer)
             counts.append(float(pair_mask.sum()))
-        losses = [float(l) for l in losses]
         return float(np.dot(losses, counts) / np.sum(counts))
 
     def _alpha(self) -> Optional[float]:
@@ -753,9 +753,8 @@ class ClassificationTrainer:
                 jnp.asarray(neg),
                 jnp.asarray(mask),
             )
-            losses.append(loss)
+            losses.append(float(loss))  # per-step sync (see TowerTrainer)
             counts.append(float(mask.sum()))
-        losses = [float(l) for l in losses]
         return float(np.dot(losses, counts) / np.sum(counts))
 
     def baseline_scores(self, compiled: CompiledBehaviors, news_emb) -> np.ndarray:
