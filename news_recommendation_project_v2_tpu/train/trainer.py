@@ -220,8 +220,10 @@ class TowerTrainer:
             )
 
     def train_one_epoch(self) -> float:
+        from ..data.prefetch import prefetch
+
         losses, counts = [], []
-        for batch in self._epoch_batches():
+        for batch in prefetch(self._epoch_batches()):
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, loss = self._train_step(
                 self.params,
@@ -409,7 +411,9 @@ class JointTowerTrainer(TowerTrainer):
             if self.baseline_train is not None
             else np.zeros(self.ct.num_news, np.float32)
         )
-        for batch in self._epoch_batches():
+        from ..data.prefetch import prefetch
+
+        for batch in prefetch(self._epoch_batches()):
             hist_idx, hist_mask, rev, pos, neg, pair_mask = batch
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, loss = self._train_step(
@@ -599,8 +603,10 @@ class EndToEndTrainer:
             )
 
     def train_one_epoch(self) -> float:
+        from ..data.prefetch import prefetch
+
         losses, counts = [], []
-        for batch in self._epoch_batches():
+        for batch in prefetch(self._epoch_batches()):
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, *map(jnp.asarray, batch), sub
