@@ -179,7 +179,7 @@ def bench_reference_style(hist_lens, imp_lens, hist_rev, cand_rev, cand_row):
             pooled = (x * m).sum(1) / mask.sum(1, keepdim=True)
             return F.normalize(pooled, p=2, dim=-1)
 
-    sample_rows = 300
+    sample_rows = 150
     tower = TorchLatentTower().eval()
     emb_np = np.random.default_rng(SEED).standard_normal((NUM_NEWS, DIM)).astype(
         np.float32

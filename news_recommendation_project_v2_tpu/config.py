@@ -137,6 +137,11 @@ class TrainConfig:
     max_pos_ratio: Optional[float] = None
     seed: int = DEFAULT_SEED
     loss: str = "margin"  # margin | infonce
+    # ReduceLROnPlateau(patience=2) parity (reference ``trainer.py:97-101``):
+    # multiply the lr by ``plateau_factor`` after ``plateau_patience`` epochs
+    # without val-metric improvement. 0 disables.
+    plateau_patience: int = 0
+    plateau_factor: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,6 +56,49 @@ def cosine_scores_flat(
     return dot / (nu * nc)
 
 
+def cosine_scores_chunked(
+    user_vecs: jnp.ndarray,
+    news_emb: jnp.ndarray,
+    cand_rev: np.ndarray,
+    cand_row: np.ndarray,
+    chunk: int = 1 << 19,
+) -> np.ndarray:
+    """``cosine_scores_flat`` over fixed-shape slot chunks: the gathered [C, D]
+    matrices for MIND-large-scale slot counts (7M+ slots) exceed HBM if
+    materialized whole; chunking bounds the transient to ~4GB and keeps one
+    compiled program regardless of C."""
+    total = len(cand_rev)
+    if total <= chunk:
+        return np.asarray(
+            cosine_scores_flat(
+                user_vecs, news_emb, jnp.asarray(cand_rev), jnp.asarray(cand_row)
+            )
+        )
+    def sliced(arr, a, b, pad):
+        part = arr[a:b]  # stays on device for jax arrays
+        if pad:
+            if isinstance(part, jax.Array):
+                part = jnp.concatenate([part, jnp.zeros((pad,), part.dtype)])
+            else:
+                part = np.pad(np.asarray(part), (0, pad))
+        return jnp.asarray(part)
+
+    outs = []
+    for a in range(0, total, chunk):
+        b = min(a + chunk, total)
+        pad = chunk - (b - a)
+        outs.append(
+            cosine_scores_flat(
+                user_vecs,
+                news_emb,
+                sliced(cand_rev, a, b, pad),
+                sliced(cand_row, a, b, pad),
+            )
+        )
+    fetched = jax.device_get(outs)
+    return np.concatenate(fetched)[:total]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tower_apply", "batch", "bucket_len"),
@@ -159,25 +202,44 @@ def user_vectors_device(
     tokens_per_batch: Optional[int] = None,
     out_dtype=jnp.float32,
 ) -> jax.Array:
-    """Device-resident [num_rows, out_dim] user-vector matrix (see module doc)."""
+    """Device-resident [num_rows, out_dim] user-vector matrix (see module doc).
+
+    Each device call covers a FIXED-shape chunk of ``batch * scan_steps`` rows
+    (last chunk padded), so compiled programs depend only on (bucket, batch) —
+    never on the dataset's row count. The [num_rows, D] accumulator shape does
+    vary per dataset, but scatter-into-donated-buffer recompiles are cheap
+    relative to the tower program.
+    """
     num_rows = len(hist_lens)
     hist_rev_dev = jnp.asarray(hist_rev)
     user_vecs = jnp.zeros((num_rows, out_dim), dtype=out_dtype)
+    # Fixed chunk of batch*8 rows per call: program shapes depend only on
+    # (bucket, batch) — never on the dataset's row count — keeping ONE compiled
+    # program per bucket (remote compiles are the expensive resource here)
+    # while chunks stay large enough to amortize dispatch.
+    scan_steps = 8
     for bucket_len, batch, starts, lens, rows in _bucket_plan(
         hist_lens, buckets, batch_size, tokens_per_batch
     ):
-        user_vecs = _bucket_update(
-            user_vecs,
-            params,
-            news_emb,
-            hist_rev_dev,
-            jnp.asarray(starts),
-            jnp.asarray(lens),
-            jnp.asarray(rows),
-            tower_apply=tower_apply,
-            batch=batch,
-            bucket_len=bucket_len,
-        )
+        chunk = batch * scan_steps
+        n = len(starts)
+        for a in range(0, n, chunk):
+            b = min(a + chunk, n)
+            pad = chunk - (b - a)
+            user_vecs = _bucket_update(
+                user_vecs,
+                params,
+                news_emb,
+                hist_rev_dev,
+                jnp.asarray(np.pad(starts[a:b], (0, pad))),
+                jnp.asarray(np.pad(lens[a:b], (0, pad))),
+                jnp.asarray(
+                    np.pad(rows[a:b], (0, pad), constant_values=num_rows)
+                ),
+                tower_apply=tower_apply,
+                batch=batch,
+                bucket_len=bucket_len,
+            )
     return user_vecs
 
 
@@ -322,11 +384,4 @@ def score_all_impressions(
         tokens_per_batch=tokens_per_batch,
         out_dtype=jnp.float32,
     )
-    return np.asarray(
-        cosine_scores_flat(
-            user_vecs,
-            news_emb,
-            jnp.asarray(cand_rev),
-            jnp.asarray(cand_row),
-        )
-    )
+    return cosine_scores_chunked(user_vecs, news_emb, cand_rev, cand_row)

@@ -45,7 +45,7 @@ from .step import make_classification_train_step, make_tower_train_step
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.adamw(
+        optax.inject_hyperparams(optax.adamw)(
             learning_rate=cfg.learning_rate,
             b1=0.9,
             b2=0.999,
@@ -53,6 +53,40 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             weight_decay=cfg.weight_decay,
         ),
     )
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau(patience, factor) over the epoch val metric (reference
+    ``trainer.py:97-101``): rewrites the injected learning-rate hyperparameter
+    in the optimizer state when the metric stalls."""
+
+    def __init__(self, cfg: TrainConfig):
+        self.patience = cfg.plateau_patience
+        self.factor = cfg.plateau_factor
+        self.lr = cfg.learning_rate
+        self.best = -np.inf
+        self.stale = 0
+
+    def update(self, opt_state, metric: Optional[float]):
+        """Returns a possibly lr-rewritten opt_state (no-op when disabled)."""
+        if self.patience <= 0 or metric is None:
+            return opt_state
+        if metric > self.best:
+            self.best = metric
+            self.stale = 0
+            return opt_state
+        self.stale += 1
+        if self.stale <= self.patience:
+            return opt_state
+        self.stale = 0
+        self.lr *= self.factor
+        # opt_state is (clip_state, InjectStatefulHyperparamsState).
+        inner = opt_state[1]
+        new_hp = dict(inner.hyperparams)
+        new_hp["learning_rate"] = jnp.asarray(
+            self.lr, dtype=jnp.asarray(inner.hyperparams["learning_rate"]).dtype
+        )
+        return (opt_state[0], inner._replace(hyperparams=new_hp))
 
 
 def _log_jsonl(log_dir: Optional[Path], fname: str, record: dict) -> None:
@@ -120,6 +154,7 @@ class TowerTrainer:
         self.optimizer = make_optimizer(cfg)
         self.opt_state = jax.jit(self.optimizer.init)(params)
         self.best = BestTracker(ckpt_dir, exp_name)
+        self.plateau = PlateauScheduler(cfg)
         self.history: list[dict] = []
 
         self._hist_offsets = lengths_to_offsets(compiled_train.hist_lens)
@@ -331,6 +366,11 @@ class TowerTrainer:
                     {"exp_name": self.exp_name, "epoch": epoch, "scores": val_scores},
                 )
                 self.best.update(epoch, val_scores, self.params)
+                from .checkpoint import mean_metric
+
+                self.opt_state = self.plateau.update(
+                    self.opt_state, mean_metric(val_scores)
+                )
         return self.history
 
 
@@ -690,6 +730,7 @@ class ClassificationTrainer:
         self.optimizer = make_optimizer(cfg)
         self.opt_state = jax.jit(self.optimizer.init)(params)
         self.best = BestTracker(ckpt_dir, exp_name)
+        self.plateau = PlateauScheduler(cfg)
         self.history: list[dict] = []
 
         if cfg.loss == "infonce":
@@ -803,4 +844,9 @@ class ClassificationTrainer:
                     {"exp_name": self.exp_name, "epoch": epoch, "scores": val_scores},
                 )
                 self.best.update(epoch, val_scores, self.params)
+                from .checkpoint import mean_metric
+
+                self.opt_state = self.plateau.update(
+                    self.opt_state, mean_metric(val_scores)
+                )
         return self.history
