@@ -42,6 +42,11 @@ def build_encoder(
     """Encoder + tokenizer. With ``hf_checkpoint`` (a torch state-dict file or
     HF model dir) the weights are converted; otherwise a seeded random encoder
     + hash tokenizer (offline mode — synthetic/CI use)."""
+    if hf_checkpoint is not None and encoder_config is not None:
+        raise ValueError(
+            "--hf-checkpoint requires the full-size default encoder geometry; "
+            "a custom/tiny EncoderConfig would silently drop checkpoint layers"
+        )
     cfg = encoder_config or EncoderConfig()
     enc = NewsEncoder(cfg)
     tok = HashTokenizer(vocab_size=cfg.vocab_size, max_length=max_length)

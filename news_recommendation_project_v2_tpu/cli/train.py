@@ -74,6 +74,11 @@ def main(argv=None):
         from ..pipeline import EmbeddingsComponent
         from .common import build_encoder
 
+        if args.hf_checkpoint and args.dim:
+            parser.error(
+                "--hf-checkpoint uses the full-size encoder; drop --dim "
+                "(tower dims then default to the checkpoint's 1024)"
+            )
         enc_cfg = (
             EncoderConfig(
                 vocab_size=5003,

@@ -21,25 +21,41 @@ def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:
     """Yield items of ``iterable``, produced ahead of time on a daemon thread.
 
     ``depth`` bounds the queue so producer memory stays bounded. Exceptions in
-    the producer re-raise at the consuming site.
+    the producer re-raise at the consuming site. Abandoning the iterator
+    (break / exception / GC) stops the producer promptly instead of leaving it
+    blocked forever on a full queue.
     """
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:  # noqa: BLE001 - propagated to consumer
-            q.put(e)
+            put(e)
             return
-        q.put(_END)
+        put(_END)
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -109,13 +109,12 @@ def make_sharded_encode_fn(mesh: Mesh, encoder_apply: Callable) -> Callable:
     "sharded encode -> dump" stage of the multi-host pipeline, BASELINE
     config[4])."""
     rep = replicated(mesh)
-    dat2 = NamedSharding(mesh, P("data", None))
     dat = batch_sharding(mesh, 2)
 
     def fn(params, ids, mask):
         return encoder_apply(params, ids, mask)
 
-    return jax.jit(fn, in_shardings=(rep, dat2, dat2), out_shardings=dat)
+    return jax.jit(fn, in_shardings=(rep, dat, dat), out_shardings=dat)
 
 
 def shard_encoder_params_tp(mesh: Mesh, params) -> object:

@@ -23,30 +23,31 @@ import numpy as np
 
 
 def _digest_value(h: "hashlib._Hash", value: Any) -> None:
-    """Cheap, stable content digest: full identity for scalars/strings, shape +
-    dtype + strided sample for arrays/frames (hashing 65k x 1024 floats fully
-    would dominate small runs)."""
+    """Stable FULL-content digest: any element change anywhere in an array,
+    frame, or dict must change the fingerprint (a sampled digest silently
+    served stale caches — review finding). Hashing is all C-speed bulk ops, so
+    even a 65k x 1024 float table adds only ~0.1s once per pipeline run."""
     h.update(type(value).__name__.encode())
     if isinstance(value, (str, int, float, bool, bytes, Path)) or value is None:
         h.update(repr(value).encode())
     elif isinstance(value, np.ndarray):
         h.update(str((value.shape, value.dtype)).encode())
         if value.size:
-            sample = np.ascontiguousarray(
-                value.reshape(-1)[:: max(1, value.size // 256)]
-            )
-            h.update(sample.tobytes() if sample.dtype != object else repr(sample[:8].tolist()).encode())
+            if value.dtype == object:
+                h.update(repr(value.tolist()).encode())
+            else:
+                h.update(np.ascontiguousarray(value).tobytes())
     elif hasattr(value, "__dataclass_fields__"):
         for f in value.__dataclass_fields__:
             _digest_value(h, getattr(value, f))
     elif hasattr(value, "shape") and hasattr(value, "columns"):  # DataFrame
+        import pandas as pd
+
         h.update(str((value.shape, list(value.columns))).encode())
-        if len(value):
-            h.update(value.head(3).to_csv().encode())
-            h.update(value.tail(3).to_csv().encode())
+        h.update(pd.util.hash_pandas_object(value, index=True).values.tobytes())
     elif isinstance(value, dict):
         h.update(str(len(value)).encode())
-        for k in list(value)[:5]:
+        for k in sorted(value, key=repr):
             h.update(repr(k).encode())
             _digest_value(h, value[k])
     else:
@@ -83,8 +84,27 @@ class PipelineComponent(ABC):
         pass
 
     def cache_token(self) -> str:
-        """Configuration fingerprint mixed into the step cache key."""
-        return repr(sorted(self.__dict__.items(), key=lambda kv: kv[0]))
+        """Configuration fingerprint mixed into the step cache key.
+
+        The default is STABLE across processes: scalar/dataclass config fields
+        hash by value; callables by qualified name; arrays/pytrees/other
+        objects by type (their content is assumed derived from hashed config —
+        e.g. seeded init or a warm-start Path). Components whose behavior
+        depends on unhashed object content should override this.
+        """
+        parts = []
+        for key, value in sorted(self.__dict__.items()):
+            if isinstance(value, (str, int, float, bool, bytes, Path, tuple)) or (
+                value is None or hasattr(value, "__dataclass_fields__")
+            ):
+                parts.append(f"{key}={value!r}")
+            elif callable(value):
+                parts.append(
+                    f"{key}={getattr(value, '__qualname__', type(value).__name__)}"
+                )
+            else:
+                parts.append(f"{key}=<{type(value).__name__}>")
+        return "|".join(parts)
 
 
 class Pipeline:
@@ -121,14 +141,20 @@ class Pipeline:
         training: bool,
     ):
         # Chain key: entry-data fingerprint, folded with each step's config.
-        chain = fingerprint_context(context)
-        if val_context is not None:
-            chain += fingerprint_context(val_context)
+        # Skipped entirely when caching is off (token/fingerprint computation
+        # is not free).
+        chain = ""
+        if self.use_cache:
+            chain = fingerprint_context(context)
+            if val_context is not None:
+                chain += fingerprint_context(val_context)
         for step_name, component in self._steps:
             print(f"Starting step {step_name}")
-            chain = hashlib.sha256(
-                f"{chain}|{type(component).__name__}|{component.cache_token()}".encode()
-            ).hexdigest()[:16]
+            if self.use_cache:
+                chain = hashlib.sha256(
+                    f"{chain}|{type(component).__name__}|"
+                    f"{component.cache_token()}".encode()
+                ).hexdigest()[:16]
             cache_file = (
                 self._cache_path(step_name, component, chain)
                 if self.use_cache and component.cacheable

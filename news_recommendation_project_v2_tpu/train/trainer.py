@@ -313,7 +313,7 @@ class TowerTrainer:
     # ------------------------------------------------------------------
 
     def save_training_state(self, path: Path) -> None:
-        """Persist params + optimizer state + epoch count for resume."""
+        """Persist params + optimizer state + scheduler state + epoch count."""
         from .checkpoint import save_pytree
 
         save_pytree(
@@ -322,11 +322,16 @@ class TowerTrainer:
                 "params": self.params,
                 "opt_state": self.opt_state,
                 "epochs_done": len(self.history),
+                # Plateau scheduler must survive resume, or a post-restore
+                # plateau would rewrite the lr UPWARD from its original value.
+                "plateau_lr": self.plateau.lr,
+                "plateau_best": float(self.plateau.best),
+                "plateau_stale": self.plateau.stale,
             },
         )
 
     def restore_training_state(self, path: Path) -> int:
-        """Restore params/opt_state; returns the number of completed epochs."""
+        """Restore params/opt_state/scheduler; returns completed epoch count."""
         from .checkpoint import load_pytree
 
         state = load_pytree(
@@ -335,10 +340,16 @@ class TowerTrainer:
                 "params": self.params,
                 "opt_state": self.opt_state,
                 "epochs_done": 0,
+                "plateau_lr": self.plateau.lr,
+                "plateau_best": float(self.plateau.best),
+                "plateau_stale": 0,
             },
         )
         self.params = state["params"]
         self.opt_state = state["opt_state"]
+        self.plateau.lr = float(state["plateau_lr"])
+        self.plateau.best = float(state["plateau_best"])
+        self.plateau.stale = int(state["plateau_stale"])
         return int(state["epochs_done"])
 
     def train(self, num_epochs: Optional[int] = None) -> list[dict]:
