@@ -1,0 +1,105 @@
+"""Request-level serving API: rank candidate news for a user's clicked history.
+
+The reference has no serving surface at all — its eval path is offline batch
+scoring. This module packages a trained tower + embedding table into a
+low-latency ranker: id lookup on host, one jitted tower call per request (shapes
+bucketed so the jit cache stays bounded), cosine scoring on device, ranked ids
+back.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import HISTORY_BUCKETS, bucket_for
+from .data.grouping import dense_rank_by_segment
+
+
+@functools.partial(jax.jit, static_argnames=("tower_apply",))
+def _rank_one(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, cand_idx):
+    gathered = query_emb[hist_idx][None] * hist_mask[None, :, None].astype(
+        query_emb.dtype
+    )
+    user = tower_apply(params, gathered, hist_mask[None])[0]
+    cands = news_emb[cand_idx]
+    eps = 1e-8
+    nu = jnp.maximum(jnp.linalg.norm(user), eps)
+    nc = jnp.maximum(jnp.linalg.norm(cands, axis=-1), eps)
+    return (cands @ user) / (nu * nc)
+
+
+class Ranker:
+    """Serve ranked candidates for one user request.
+
+    ``news_ids`` aligns the embedding table rows with external news ids (the
+    same id-keyed contract as the embedding dumps). Unknown history ids are
+    dropped; unknown candidate ids score ``-inf`` and rank last.
+    """
+
+    def __init__(
+        self,
+        tower_apply: Callable,  # (params, [B,L,D], [B,L]) -> [B,D]
+        params,
+        news_emb,  # [N, D]
+        news_ids: Sequence[str],
+        query_news_emb=None,
+        buckets: tuple[int, ...] = HISTORY_BUCKETS,
+        candidate_buckets: tuple[int, ...] = (16, 64, 300),
+    ):
+        self.tower_apply = tower_apply
+        self.params = params
+        self.news_emb = jnp.asarray(news_emb)
+        self.query_emb = (
+            jnp.asarray(query_news_emb)
+            if query_news_emb is not None
+            else self.news_emb
+        )
+        self.row_of = {str(n): i for i, n in enumerate(news_ids)}
+        self.buckets = buckets
+        self.candidate_buckets = candidate_buckets
+
+    def rank(
+        self, history_ids: Sequence[str], candidate_ids: Sequence[str]
+    ) -> list[tuple[str, float]]:
+        """Returns candidates sorted best-first with their cosine scores."""
+        hist = [self.row_of[h] for h in history_ids if h in self.row_of]
+        if not hist:
+            raise ValueError("no known history ids; cold-start requests need the "
+                             "classification baseline, not the tower ranker")
+        known = [self.row_of.get(c, -1) for c in candidate_ids]
+        L = bucket_for(len(hist), self.buckets)
+        hist = hist[-L:]  # keep most recent clicks
+        C = bucket_for(max(len(known), 1), self.candidate_buckets)
+        hist_idx = np.zeros(L, np.int32)
+        hist_idx[: len(hist)] = hist
+        hist_mask = np.zeros(L, np.float32)
+        hist_mask[: len(hist)] = 1.0
+        cand_idx = np.zeros(C, np.int32)
+        cand_idx[: len(known)] = np.maximum(known, 0)
+        scores = np.asarray(
+            _rank_one(
+                self.tower_apply,
+                self.params,
+                self.news_emb,
+                self.query_emb,
+                jnp.asarray(hist_idx),
+                jnp.asarray(hist_mask),
+                jnp.asarray(cand_idx),
+            )
+        )[: len(known)]
+        scores = np.where(np.asarray(known) >= 0, scores, -np.inf)
+        order = np.argsort(-scores, kind="stable")
+        return [(candidate_ids[i], float(scores[i])) for i in order]
+
+    def rank_dense(self, history_ids, candidate_ids) -> np.ndarray:
+        """Dense ranks (1 = best) in candidate order — the offline pipeline's
+        rank convention."""
+        ranked = self.rank(history_ids, candidate_ids)
+        score_of = {c: s for c, s in ranked}
+        scores = np.array([score_of[c] for c in candidate_ids])
+        return dense_rank_by_segment(scores, np.array([len(candidate_ids)]))

@@ -1,0 +1,64 @@
+"""Serving-API tests: ranked output sanity, unknown-id handling, bucket reuse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_recommendation_project_v2_tpu.models.pooling import average_pool
+from news_recommendation_project_v2_tpu.serve import Ranker
+
+D = 16
+
+
+@pytest.fixture
+def ranker(rng):
+    emb = rng.standard_normal((20, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"N{i}" for i in range(20)]
+    return Ranker(lambda p, e, m: average_pool(e, m), None, emb, ids), emb
+
+
+def test_rank_orders_by_cosine(ranker):
+    r, emb = ranker
+    # History = N0 alone -> user vector = emb[0]; best candidate is N0 itself.
+    out = r.rank(["N0"], ["N3", "N0", "N7"])
+    assert out[0][0] == "N0"
+    assert out[0][1] == pytest.approx(1.0, abs=1e-5)
+    scores = [s for _, s in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_unknown_candidates_rank_last(ranker):
+    r, _ = ranker
+    out = r.rank(["N1", "N2"], ["N5", "NUNKNOWN", "N6"])
+    assert out[-1][0] == "NUNKNOWN"
+    assert out[-1][1] == -np.inf
+
+
+def test_unknown_history_dropped_and_cold_start_raises(ranker):
+    r, emb = ranker
+    out_clean = r.rank(["N0"], ["N1", "N2"])
+    out_noisy = r.rank(["NMISSING", "N0"], ["N1", "N2"])
+    assert [c for c, _ in out_clean] == [c for c, _ in out_noisy]
+    with pytest.raises(ValueError, match="cold-start"):
+        r.rank(["NMISSING"], ["N1"])
+
+
+def test_rank_dense_matches_offline_convention(ranker):
+    r, _ = ranker
+    ranks = r.rank_dense(["N0", "N1"], ["N2", "N3", "N4"])
+    assert sorted(ranks.tolist()) == [1, 2, 3]
+
+
+def test_long_history_truncates_to_most_recent(rng):
+    emb = np.eye(32, D).astype(np.float32) + 0.01
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"N{i}" for i in range(32)]
+    r = Ranker(
+        lambda p, e, m: average_pool(e, m), None, emb, ids, buckets=(4,)
+    )
+    # History of 8, bucket 4 -> only the LAST 4 clicks count.
+    out = r.rank([f"N{i}" for i in range(8)], ["N1", "N6"])
+    # Mean of emb[4..7] is closer to N6 than N1.
+    assert out[0][0] == "N6"
