@@ -190,3 +190,14 @@ def test_timed_sink():
     with timed("x", sink):
         _ = jnp.zeros(8) + 1
     assert sink and sink[0][0] == "x" and sink[0][1] >= 0
+
+
+def test_profile_trace_writes_artifacts(tmp_path):
+    import jax.numpy as jnp
+
+    from news_recommendation_project_v2_tpu.utils import profile_trace
+
+    with profile_trace(tmp_path):
+        jax.jit(lambda x: x * 2)(jnp.arange(8.0)).block_until_ready()
+    # jax.profiler writes a plugins/profile tree.
+    assert any(tmp_path.rglob("*"))
