@@ -10,7 +10,7 @@ back.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +18,19 @@ import numpy as np
 
 from .config import HISTORY_BUCKETS, bucket_for
 from .data.grouping import dense_rank_by_segment
+
+
+@functools.partial(jax.jit, static_argnames=("tower_apply", "k"))
+def _retrieve_one(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, k):
+    gathered = query_emb[hist_idx][None] * hist_mask[None, :, None].astype(
+        query_emb.dtype
+    )
+    user = tower_apply(params, gathered, hist_mask[None])[0]
+    eps = 1e-8
+    nu = jnp.maximum(jnp.linalg.norm(user), eps)
+    nc = jnp.maximum(jnp.linalg.norm(news_emb, axis=-1), eps)
+    scores = (news_emb @ user) / (nu * nc)
+    return jax.lax.top_k(scores, k)
 
 
 @functools.partial(jax.jit, static_argnames=("tower_apply",))
@@ -60,6 +73,7 @@ class Ranker:
             else self.news_emb
         )
         self.row_of = {str(n): i for i, n in enumerate(news_ids)}
+        self.id_of = [str(n) for n in news_ids]
         self.buckets = buckets
         self.candidate_buckets = candidate_buckets
 
@@ -95,6 +109,35 @@ class Ranker:
         scores = np.where(np.asarray(known) >= 0, scores, -np.inf)
         order = np.argsort(-scores, kind="stable")
         return [(candidate_ids[i], float(scores[i])) for i in order]
+
+    def retrieve(
+        self, history_ids: Sequence[str], k: int = 10
+    ) -> list[tuple[str, float]]:
+        """Exhaustive top-k retrieval over the ENTIRE news table (ANN-free
+        full-corpus scoring — the north star's serving-side counterpart of the
+        offline impression scorer): one matmul over [N, D] + on-device top_k."""
+        hist = [self.row_of[h] for h in history_ids if h in self.row_of]
+        if not hist:
+            raise ValueError("no known history ids; cold-start requests need the "
+                             "classification baseline, not the tower ranker")
+        L = bucket_for(len(hist), self.buckets)
+        hist = hist[-L:]
+        hist_idx = np.zeros(L, np.int32)
+        hist_idx[: len(hist)] = hist
+        hist_mask = np.zeros(L, np.float32)
+        hist_mask[: len(hist)] = 1.0
+        scores, idx = _retrieve_one(
+            self.tower_apply,
+            self.params,
+            self.news_emb,
+            self.query_emb,
+            jnp.asarray(hist_idx),
+            jnp.asarray(hist_mask),
+            min(k, self.news_emb.shape[0]),
+        )
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        return [(self.id_of[i], float(s)) for i, s in zip(idx, scores)]
 
     def rank_dense(self, history_ids, candidate_ids) -> np.ndarray:
         """Dense ranks (1 = best) in candidate order — the offline pipeline's

@@ -62,3 +62,16 @@ def test_long_history_truncates_to_most_recent(rng):
     out = r.rank([f"N{i}" for i in range(8)], ["N1", "N6"])
     # Mean of emb[4..7] is closer to N6 than N1.
     assert out[0][0] == "N6"
+
+
+def test_retrieve_full_corpus(ranker):
+    r, emb = ranker
+    out = r.retrieve(["N0"], k=5)
+    assert len(out) == 5
+    # N0 itself must be the top hit (cosine 1 with its own embedding).
+    assert out[0][0] == "N0"
+    assert out[0][1] == pytest.approx(1.0, abs=1e-5)
+    scores = [s for _, s in out]
+    assert scores == sorted(scores, reverse=True)
+    # k larger than the corpus clamps.
+    assert len(r.retrieve(["N0"], k=100)) == 20
