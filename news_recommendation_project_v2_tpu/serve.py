@@ -34,6 +34,18 @@ def _retrieve_one(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask,
 
 
 @functools.partial(jax.jit, static_argnames=("tower_apply",))
+def _rank_many(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, cand_idx):
+    # hist_idx/hist_mask [B, L]; cand_idx [B, C] -> scores [B, C]
+    gathered = query_emb[hist_idx] * hist_mask[..., None].astype(query_emb.dtype)
+    user = tower_apply(params, gathered, hist_mask)
+    cands = news_emb[cand_idx]
+    eps = 1e-8
+    nu = jnp.maximum(jnp.linalg.norm(user, axis=-1), eps)[:, None]
+    nc = jnp.maximum(jnp.linalg.norm(cands, axis=-1), eps)
+    return jnp.einsum("bcd,bd->bc", cands, user) / (nu * nc)
+
+
+@functools.partial(jax.jit, static_argnames=("tower_apply",))
 def _rank_one(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, cand_idx):
     gathered = query_emb[hist_idx][None] * hist_mask[None, :, None].astype(
         query_emb.dtype
@@ -138,6 +150,55 @@ class Ranker:
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         return [(self.id_of[i], float(s)) for i, s in zip(idx, scores)]
+
+    def rank_batch(
+        self,
+        requests: Sequence[tuple[Sequence[str], Sequence[str]]],
+    ) -> list[list[tuple[str, float]]]:
+        """Throughput path: many (history_ids, candidate_ids) requests scored in
+        one device call per (history-bucket, candidate-bucket) shape group."""
+        prepared = []
+        for req_i, (history_ids, candidate_ids) in enumerate(requests):
+            hist = [self.row_of[h] for h in history_ids if h in self.row_of]
+            if not hist:
+                raise ValueError(f"request {req_i}: no known history ids")
+            known = [self.row_of.get(c, -1) for c in candidate_ids]
+            L = bucket_for(len(hist), self.buckets)
+            C = bucket_for(max(len(known), 1), self.candidate_buckets)
+            prepared.append((req_i, hist[-L:], known, L, C))
+
+        results: list = [None] * len(requests)
+        by_shape: dict[tuple[int, int], list] = {}
+        for item in prepared:
+            by_shape.setdefault((item[3], item[4]), []).append(item)
+        for (L, C), group in by_shape.items():
+            B = len(group)
+            hist_idx = np.zeros((B, L), np.int32)
+            hist_mask = np.zeros((B, L), np.float32)
+            cand_idx = np.zeros((B, C), np.int32)
+            for j, (_, hist, known, _, _) in enumerate(group):
+                hist_idx[j, : len(hist)] = hist
+                hist_mask[j, : len(hist)] = 1.0
+                cand_idx[j, : len(known)] = np.maximum(known, 0)
+            scores = np.asarray(
+                _rank_many(
+                    self.tower_apply,
+                    self.params,
+                    self.news_emb,
+                    self.query_emb,
+                    jnp.asarray(hist_idx),
+                    jnp.asarray(hist_mask),
+                    jnp.asarray(cand_idx),
+                )
+            )
+            for j, (req_i, _, known, _, _) in enumerate(group):
+                cand_ids = requests[req_i][1]
+                s = np.where(
+                    np.asarray(known) >= 0, scores[j, : len(known)], -np.inf
+                )
+                order = np.argsort(-s, kind="stable")
+                results[req_i] = [(cand_ids[i], float(s[i])) for i in order]
+        return results
 
     def rank_dense(self, history_ids, candidate_ids) -> np.ndarray:
         """Dense ranks (1 = best) in candidate order — the offline pipeline's

@@ -75,3 +75,18 @@ def test_retrieve_full_corpus(ranker):
     assert scores == sorted(scores, reverse=True)
     # k larger than the corpus clamps.
     assert len(r.retrieve(["N0"], k=100)) == 20
+
+
+def test_rank_batch_matches_single(ranker):
+    r, _ = ranker
+    requests = [
+        (["N0"], ["N3", "N0", "N7"]),
+        (["N1", "N2"], ["N5", "NUNKNOWN", "N6"]),
+        (["N4"] * 3, ["N8", "N9"]),
+    ]
+    batched = r.rank_batch(requests)
+    for req, got in zip(requests, batched):
+        single = r.rank(*req)
+        assert [c for c, _ in got] == [c for c, _ in single]
+        for (_, a), (_, b) in zip(got, single):
+            assert a == pytest.approx(b, abs=1e-5) or (a == -np.inf and b == -np.inf)
