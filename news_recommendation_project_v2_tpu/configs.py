@@ -148,3 +148,132 @@ def _sized_tower(dim: int) -> TowerConfig:
         num_latents=min(64, dim),
         latent_dim_head=max(8, dim // 2),
     )
+
+
+def run_config2(
+    compiled: CompiledBehaviors,
+    token_store,  # ops.encode.TokenStore of frozen per-token states
+    dim: int,
+    train_cfg: Optional[TrainConfig] = None,
+    max_token_len: int = 64,
+) -> dict:
+    """Config[2]: end-to-end — learned token-attention news encoder + latent
+    tower trained jointly from frozen token states, then attention-only
+    scoring with the materialized embeddings."""
+    from .models import TokenAttentionPool
+    from .train.trainer import EndToEndTrainer
+
+    train_cfg = train_cfg or TrainConfig(num_epochs=1, batch_size=32)
+    view = compiled.with_history_view()
+    tok_model = TokenAttentionPool(hidden_size=dim, num_layers=1)
+    tok_params = jax.jit(
+        lambda: tok_model.init(
+            jax.random.key(1), jnp.zeros((1, 8, dim)), jnp.ones((1, 8))
+        )
+    )()
+    tower = build_tower(
+        TowerConfig(kind="latent", reduced_dim=dim, num_latents=min(16, dim), latent_dim_head=max(8, dim // 4))
+    )
+    tower_params = jax.jit(
+        lambda: tower.init(
+            jax.random.key(2), jnp.zeros((1, 8, dim)), jnp.ones((1, 8))
+        )
+    )()
+    trainer = EndToEndTrainer(
+        tok_model.apply,
+        tok_params,
+        tower.apply,
+        tower_params,
+        view,
+        token_store,
+        cfg=train_cfg,
+        max_token_len=max_token_len,
+    )
+    trainer.train()
+    news_emb = trainer.materialize_news_embeddings(batch_size=32)
+    slots, cand_rows = history_candidate_slots(compiled)
+    scores = score_all_impressions(
+        lambda p, e, m: tower.apply(p, e, m),
+        trainer.params["tower"],
+        jnp.asarray(news_emb),
+        view.hist_rev,
+        view.hist_lens,
+        compiled.imp_rev[slots],
+        cand_rows,
+    )
+    return compose_final_scores(compiled, history_scores=scores).metrics
+
+
+def run_config3(
+    compiled: CompiledBehaviors,
+    news_embeddings: np.ndarray,
+    mesh_cfg: Optional[MeshConfig] = None,
+    train_cfg: Optional[TrainConfig] = None,
+    num_steps: int = 4,
+) -> float:
+    """Config[3]: row-sharded news table + data-parallel tower training over a
+    device mesh; returns the final step loss (finite == the sharded path runs)."""
+    from .parallel import build_mesh, make_sharded_tower_train_step, shard_news_table
+    from .train.step import make_tower_train_step
+    from .train.trainer import TowerTrainer, make_optimizer
+
+    train_cfg = train_cfg or TrainConfig(batch_size=32)
+    mesh = build_mesh(mesh_cfg or MeshConfig(model_size=2))
+    dim = news_embeddings.shape[1]
+    view = compiled.with_history_view()
+    tower = build_tower(
+        TowerConfig(kind="latent", reduced_dim=dim, num_latents=min(16, dim), latent_dim_head=max(8, dim // 4))
+    )
+    params = jax.jit(
+        lambda: tower.init(
+            jax.random.key(train_cfg.seed), jnp.zeros((1, 8, dim)), jnp.ones((1, 8))
+        )
+    )()
+    optimizer = make_optimizer(train_cfg)
+    opt_state = jax.jit(optimizer.init)(params)
+    step = make_sharded_tower_train_step(
+        make_tower_train_step(tower.apply, optimizer, train_cfg.margin), mesh
+    )
+    table = shard_news_table(mesh, jnp.asarray(news_embeddings))
+    # Reuse the single-chip trainer's host input pipeline for batches.
+    host = TowerTrainer(
+        tower.apply, params, view, jnp.asarray(news_embeddings), cfg=train_cfg
+    )
+    key = jax.random.key(0)
+    loss = float("nan")
+    for i, batch in enumerate(host._epoch_batches()):
+        if i >= num_steps:
+            break
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(
+            params, opt_state, table, table, *map(jnp.asarray, batch), sub
+        )
+        loss = float(loss)
+    return loss
+
+
+def run_config4(
+    compiled: CompiledBehaviors,
+    token_ids: np.ndarray,
+    token_mask: np.ndarray,
+    encoder_apply,
+    encoder_params,
+    mesh_cfg: Optional[MeshConfig] = None,
+) -> dict:
+    """Config[4]: the multi-host pipeline — data-parallel sharded encode over the
+    mesh -> embedding table -> mean-pool scoring + metrics on device."""
+    from .parallel import build_mesh
+    from .parallel.sharding import make_sharded_encode_fn
+
+    mesh = build_mesh(mesh_cfg or MeshConfig(model_size=2))
+    encode = make_sharded_encode_fn(mesh, encoder_apply)
+    data = mesh.shape["data"]
+    n = token_ids.shape[0]
+    pad = (-n) % data
+    ids = np.pad(token_ids, ((0, pad), (0, 0)))
+    mask = np.pad(token_mask, ((0, pad), (0, 0)))
+    mask[n:, 0] = 1
+    emb = np.asarray(
+        encode(encoder_params, jnp.asarray(ids), jnp.asarray(mask))
+    )[:n]
+    return run_config0(compiled, emb)

@@ -51,3 +51,85 @@ def test_config1_latent_tower_learns():
         ),
     )
     assert metrics["auc"] > 0.6, metrics
+
+
+def test_config2_end_to_end_runs(rng):
+    from news_recommendation_project_v2_tpu.configs import run_config2
+    from news_recommendation_project_v2_tpu.ops.encode import TokenStore
+
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=60, num_rows=60, dim=16, noise=0.05
+    )
+    c = compile_behaviors(imps, hist)
+    emb_a = align_embeddings(c.news_ids, emb)
+    arrays = [
+        (emb_a[i][None] + rng.standard_normal((3, 16)).astype(np.float32) * 0.05)
+        for i in range(c.num_news)
+    ]
+    store = TokenStore.from_ragged(arrays)
+    m = run_config2(
+        c,
+        store,
+        dim=16,
+        train_cfg=TrainConfig(learning_rate=1e-4, num_epochs=1, batch_size=16),
+        max_token_len=4,
+    )
+    assert 0 <= m["auc"] <= 1
+
+
+def test_config3_sharded_training_runs():
+    from news_recommendation_project_v2_tpu.config import MeshConfig
+    from news_recommendation_project_v2_tpu.configs import run_config3
+
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=64, num_rows=60, dim=16, noise=0.05
+    )
+    c = compile_behaviors(imps, hist)
+    emb_a = align_embeddings(c.news_ids, emb)
+    loss = run_config3(
+        c,
+        emb_a,
+        mesh_cfg=MeshConfig(data_size=4, model_size=2),
+        train_cfg=TrainConfig(batch_size=16),
+        num_steps=2,
+    )
+    assert np.isfinite(loss)
+
+
+def test_config4_multihost_pipeline_runs():
+    import jax
+    import jax.numpy as jnp
+
+    from news_recommendation_project_v2_tpu.config import EncoderConfig, MeshConfig
+    from news_recommendation_project_v2_tpu.configs import run_config4
+    from news_recommendation_project_v2_tpu.models.news_encoder import (
+        HashTokenizer,
+        NewsEncoder,
+    )
+
+    imps, hist, _ = synthetic_learnable_behaviors(num_news=40, num_rows=40, dim=16)
+    c = compile_behaviors(imps, hist)
+    cfg = EncoderConfig(
+        vocab_size=96,
+        hidden_dim=16,
+        num_layers=1,
+        num_heads=2,
+        intermediate_dim=32,
+        max_position=16,
+        compute_dtype="float32",
+    )
+    enc = NewsEncoder(cfg)
+    tok = HashTokenizer(vocab_size=96, max_length=8)
+    ids, mask = tok([f"news article {n}" for n in c.news_ids])
+    params = jax.jit(
+        lambda: enc.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(mask))
+    )()
+    m = run_config4(
+        c,
+        ids,
+        mask,
+        lambda p, i, mk: enc.apply(p, i, mk),
+        params,
+        mesh_cfg=MeshConfig(data_size=4, model_size=2),
+    )
+    assert 0 <= m["auc"] <= 1
