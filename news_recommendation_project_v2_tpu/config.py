@@ -156,6 +156,7 @@ class EncoderConfig:
     num_heads: int = 16
     intermediate_dim: int = 4096
     max_position: int = 514
+    layer_norm_eps: float = 1e-5
     pooling: str = "mean"  # mean | first | last
     normalize: bool = True
     max_length: int = NEWS_TEXT_MAXLEN

@@ -163,8 +163,12 @@ def compile_behaviors(
                 return _from_native(
                     mod.compile_behaviors(list(impressions), list(history))
                 )
-            except (TypeError, ValueError):
-                pass  # fall back for exotic inputs
+            except TypeError:
+                # Fall back for exotic input TYPES only. ValueError (malformed
+                # labeled tokens) must propagate — the Python path validates
+                # identically, so swallowing it here would change nothing but
+                # waste a second pass.
+                pass
 
     label_present = "-" in impressions[0]
 
@@ -186,6 +190,15 @@ def compile_behaviors(
         )
         # "N1234-1" -> ("N1234", "-", "1"); rpartition handles ids containing "-".
         parts = np.char.rpartition(flat_imp, "-")
+        bad = (parts[:, 1] != "-") | ~np.isin(parts[:, 2], ("0", "1"))
+        if bad.any():
+            # Same strictness as the native path: a labeled token must end in
+            # -0 or -1 (reference parses token[-1] as the label, so anything
+            # else silently corrupts labels there — here it is an error).
+            flat_row = np.repeat(np.arange(len(imp_tokens)), imp_lens)
+            raise ValueError(
+                f"malformed labeled token in row {int(flat_row[np.flatnonzero(bad)[0]])}"
+            )
         imp_news_flat = parts[:, 0]
         labels_flat = parts[:, 2].astype(np.int8)
     else:

@@ -117,72 +117,106 @@ def _pad_rows(
     return scores, labels, lens
 
 
+def _score_chunk(
+    s: np.ndarray,
+    y: np.ndarray,
+    ln: np.ndarray,
+    a: int,
+    out: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+) -> None:
+    aucs, mrrs, ndcg5s, ndcg10s = out
+    m, L = s.shape
+    b = a + m
+    npad = L - ln  # padded entries per row (all score -inf)
+
+    # --- AUC (tie-mid ranks; padding occupies the lowest npad ranks) ---
+    # min_rank = #(strictly less) + 1 ; max_rank = #(<=) ; avg = (min+max)/2
+    lt = (s[:, None, :] < s[:, :, None]).sum(-1).astype(np.float64)
+    le = (s[:, None, :] <= s[:, :, None]).sum(-1).astype(np.float64)
+    avg_ranks = (lt + 1 + le) / 2.0 - npad[:, None]
+    n_pos = y.sum(1)
+    n_neg = ln - n_pos
+    if np.any(n_pos == 0) or np.any(n_neg == 0):
+        bad = int(np.flatnonzero((n_pos == 0) | (n_neg == 0))[0]) + a
+        raise ValueError(
+            f"Impression {bad} has a single label class; AUC is undefined "
+            "(the reference fails identically inside sklearn.roc_auc_score)"
+        )
+    pos_rank_sum = (avg_ranks * y).sum(1)
+    aucs[a:b] = (pos_rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+    # --- Ordering identical to np.argsort(y_score)[::-1]:
+    # descending score, ties -> larger original index first. Padding (-inf)
+    # sorts to the very end. ---
+    idx = np.broadcast_to(np.arange(L, dtype=np.int64), (m, L))
+    order = np.lexsort((-idx, -s), axis=-1)
+    y_sorted = np.take_along_axis(y, order, axis=-1)
+
+    positions = np.arange(1, L + 1, dtype=np.float64)
+    mrrs[a:b] = (y_sorted / positions).sum(1) / np.maximum(n_pos, 1e-12)
+
+    discounts = np.log2(positions + 1.0)
+    gains_sorted = (2.0**y_sorted - 1.0) / discounts
+    # Ideal ordering: labels descending (reference sorts y_true by itself with
+    # the same argsort-reversal; values are 0/1 so only counts matter).
+    y_ideal = np.take_along_axis(
+        y, np.lexsort((-idx, -y), axis=-1), axis=-1
+    )
+    ideal_gains = (2.0**y_ideal - 1.0) / discounts
+    for k, dest in ((5, ndcg5s), (10, ndcg10s)):
+        kk = min(k, L)
+        dcg = gains_sorted[:, :kk].sum(1)
+        idcg = ideal_gains[:, :kk].sum(1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dest[a:b] = dcg / idcg
+
+
 def score_batch(
     scores: np.ndarray,
     labels: np.ndarray,
     lens: np.ndarray,
     chunk: int = 256,
+    num_workers: Optional[int] = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized (auc, mrr, ndcg5, ndcg10) per row over padded matrices.
 
     ``scores`` is [N, L] padded with -inf; ``labels`` [N, L] padded with 0;
     ``lens`` [N] real lengths. Matches the reference per-row formulas exactly,
     including argsort-reversal tie order.
+
+    Chunks fan out to ``num_workers`` threads (default ``config.NUM_WORKERS``;
+    the reference fans rows to ``ProcessPoolExecutor(NUM_WORKERS)``,
+    ``evaluation.py:66-68``). The per-chunk work is pure numpy, which releases
+    the GIL, so threads scale without process-spawn overhead.
     """
+    from ..config import NUM_WORKERS
+
     n, L = scores.shape
-    aucs = np.empty(n)
-    mrrs = np.empty(n)
-    ndcg5s = np.empty(n)
-    ndcg10s = np.empty(n)
-    for a in range(0, n, chunk):
-        b = min(a + chunk, n)
-        s = scores[a:b]
-        y = labels[a:b]
-        ln = lens[a:b]
-        m = b - a
-        npad = L - ln  # padded entries per row (all score -inf)
+    out = (np.empty(n), np.empty(n), np.empty(n), np.empty(n))
+    starts = range(0, n, chunk)
+    workers = NUM_WORKERS if num_workers is None else num_workers
+    if workers <= 1 or len(starts) <= 1:
+        for a in starts:
+            b = min(a + chunk, n)
+            _score_chunk(scores[a:b], labels[a:b], lens[a:b], a, out)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
 
-        # --- AUC (tie-mid ranks; padding occupies the lowest npad ranks) ---
-        # min_rank = #(strictly less) + 1 ; max_rank = #(<=) ; avg = (min+max)/2
-        lt = (s[:, None, :] < s[:, :, None]).sum(-1).astype(np.float64)
-        le = (s[:, None, :] <= s[:, :, None]).sum(-1).astype(np.float64)
-        avg_ranks = (lt + 1 + le) / 2.0 - npad[:, None]
-        n_pos = y.sum(1)
-        n_neg = ln - n_pos
-        if np.any(n_pos == 0) or np.any(n_neg == 0):
-            bad = int(np.flatnonzero((n_pos == 0) | (n_neg == 0))[0]) + a
-            raise ValueError(
-                f"Impression {bad} has a single label class; AUC is undefined "
-                "(the reference fails identically inside sklearn.roc_auc_score)"
-            )
-        pos_rank_sum = (avg_ranks * y).sum(1)
-        aucs[a:b] = (pos_rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
-
-        # --- Ordering identical to np.argsort(y_score)[::-1]:
-        # descending score, ties -> larger original index first. Padding (-inf)
-        # sorts to the very end. ---
-        idx = np.broadcast_to(np.arange(L, dtype=np.int64), (m, L))
-        order = np.lexsort((-idx, -s), axis=-1)
-        y_sorted = np.take_along_axis(y, order, axis=-1)
-
-        positions = np.arange(1, L + 1, dtype=np.float64)
-        mrrs[a:b] = (y_sorted / positions).sum(1) / np.maximum(n_pos, 1e-12)
-
-        discounts = np.log2(positions + 1.0)
-        gains_sorted = (2.0**y_sorted - 1.0) / discounts
-        # Ideal ordering: labels descending (reference sorts y_true by itself with
-        # the same argsort-reversal; values are 0/1 so only counts matter).
-        y_ideal = np.take_along_axis(
-            y, np.lexsort((-idx, -y), axis=-1), axis=-1
-        )
-        ideal_gains = (2.0**y_ideal - 1.0) / discounts
-        for k, out in ((5, ndcg5s), (10, ndcg10s)):
-            kk = min(k, L)
-            dcg = gains_sorted[:, :kk].sum(1)
-            idcg = ideal_gains[:, :kk].sum(1)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                out[a:b] = dcg / idcg
-    return aucs, mrrs, ndcg5s, ndcg10s
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [
+                pool.submit(
+                    _score_chunk,
+                    scores[a : min(a + chunk, n)],
+                    labels[a : min(a + chunk, n)],
+                    lens[a : min(a + chunk, n)],
+                    a,
+                    out,
+                )
+                for a in starts
+            ]
+            for f in futures:
+                f.result()  # re-raise single-class ValueError at the call site
+    return out
 
 
 def score(

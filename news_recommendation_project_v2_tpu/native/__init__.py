@@ -56,7 +56,9 @@ def load() -> Optional[object]:
         return None
     if _module is not None:
         return _module
-    if not _ext_path().exists():
+    ext = _ext_path()
+    # Rebuild when the source is newer than the binary, or the binary is gone.
+    if not ext.exists() or _SRC.stat().st_mtime > ext.stat().st_mtime:
         if _build_attempted:
             return None
         _build_attempted = True

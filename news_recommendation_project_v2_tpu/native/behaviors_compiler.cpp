@@ -18,6 +18,8 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <cctype>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -67,12 +69,19 @@ class StringTable {
   std::unordered_map<std::string_view, int32_t, Hash, Eq> map_;
 };
 
+// Matches Python str.split() on ASCII whitespace (space/\t/\n/\r/\v/\f).
+// MIND ids are ASCII; Unicode whitespace separators would still diverge, but
+// they cannot appear in TSV-sourced fields.
+inline bool is_space(char c) {
+  return std::isspace(static_cast<unsigned char>(c)) != 0;
+}
+
 void for_each_token(std::string_view row, auto&& fn) {
   size_t pos = 0;
   while (pos < row.size()) {
-    while (pos < row.size() && row[pos] == ' ') ++pos;
+    while (pos < row.size() && is_space(row[pos])) ++pos;
     size_t end = pos;
-    while (end < row.size() && row[end] != ' ') ++end;
+    while (end < row.size() && !is_space(row[end])) ++end;
     if (end > pos) fn(row.substr(pos, end - pos));
     pos = end;
   }
@@ -128,13 +137,20 @@ PyObject* compile_behaviors(PyObject*, PyObject* args) {
     PyObject* h = PyList_GET_ITEM(hists, i);
     std::string_view hrow;
     bool has_hist = false;
-    if (h != Py_None && !PyFloat_Check(h)) {
+    if (PyFloat_Check(h)) {
+      // Only NaN floats mean "missing" (mirrors the Python path's _is_missing);
+      // any other float is a type error there too.
+      if (!std::isnan(PyFloat_AS_DOUBLE(h))) {
+        PyErr_SetString(PyExc_TypeError, "history must be str/None/NaN");
+        return nullptr;
+      }
+    } else if (h != Py_None) {
       if (!get_utf8(h, &hrow)) {
         PyErr_SetString(PyExc_TypeError, "history must be str/None/NaN");
         return nullptr;
       }
       // Strip to detect whitespace-only rows.
-      size_t a = hrow.find_first_not_of(" \t");
+      size_t a = hrow.find_first_not_of(" \t\n\r\v\f");
       has_hist = a != std::string_view::npos;
     }
     if (has_hist) {

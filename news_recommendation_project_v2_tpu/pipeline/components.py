@@ -224,7 +224,7 @@ class ClassificationComponent(PipelineComponent):
             self._trainer = ClassificationTrainer(
                 head.apply, params, context["compiled"], emb, cfg=self.cfg
             )
-        preds = self._trainer.baseline_scores(context["compiled"], emb)
+        preds = self._trainer.baseline_scores(emb)
         context["classification_preds"] = preds
         res = compose_final_scores(
             context["compiled"],

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import HISTORY_BUCKETS, bucket_for
+from .config import HISTORY_BUCKETS, IMPRESSION_BUCKETS, bucket_for, bucket_for_open
 from .data.grouping import dense_rank_by_segment
 
 
@@ -74,7 +74,7 @@ class Ranker:
         news_ids: Sequence[str],
         query_news_emb=None,
         buckets: tuple[int, ...] = HISTORY_BUCKETS,
-        candidate_buckets: tuple[int, ...] = (16, 64, 300),
+        candidate_buckets: tuple[int, ...] = IMPRESSION_BUCKETS,
     ):
         self.tower_apply = tower_apply
         self.params = params
@@ -100,7 +100,9 @@ class Ranker:
         known = [self.row_of.get(c, -1) for c in candidate_ids]
         L = bucket_for(len(hist), self.buckets)
         hist = hist[-L:]  # keep most recent clicks
-        C = bucket_for(max(len(known), 1), self.candidate_buckets)
+        # Candidate axis is open-ended: dropping a candidate would be a
+        # correctness bug (MIND impressions reach ~600, config.py:33).
+        C = bucket_for_open(max(len(known), 1), self.candidate_buckets)
         hist_idx = np.zeros(L, np.int32)
         hist_idx[: len(hist)] = hist
         hist_mask = np.zeros(L, np.float32)
@@ -164,7 +166,7 @@ class Ranker:
                 raise ValueError(f"request {req_i}: no known history ids")
             known = [self.row_of.get(c, -1) for c in candidate_ids]
             L = bucket_for(len(hist), self.buckets)
-            C = bucket_for(max(len(known), 1), self.candidate_buckets)
+            C = bucket_for_open(max(len(known), 1), self.candidate_buckets)
             prepared.append((req_i, hist[-L:], known, L, C))
 
         results: list = [None] * len(requests)

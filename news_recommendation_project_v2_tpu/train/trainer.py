@@ -313,11 +313,17 @@ class TowerTrainer:
     # ------------------------------------------------------------------
 
     def save_training_state(self, path: Path) -> None:
-        """Persist params + optimizer state + scheduler state + epoch count."""
+        """Persist params + optimizer state + scheduler state + epoch count,
+        plus everything else a resume needs to continue the ORIGINAL run rather
+        than restart pieces of it: the best-checkpoint score (so the first
+        post-resume eval can't silently overwrite ``Best_model_*`` with a worse
+        model), the epoch history, and both RNG streams (so post-resume epochs
+        don't replay epoch-1 sampling)."""
         from .checkpoint import save_pytree
 
+        path = Path(path)
         save_pytree(
-            Path(path),
+            path,
             {
                 "params": self.params,
                 "opt_state": self.opt_state,
@@ -327,15 +333,27 @@ class TowerTrainer:
                 "plateau_lr": self.plateau.lr,
                 "plateau_best": float(self.plateau.best),
                 "plateau_stale": self.plateau.stale,
+                "best_score": float(self.best.best_score),
+                "key_data": np.asarray(jax.random.key_data(self.key)),
             },
         )
+        # History records + numpy bit-generator state are JSON-shaped (the
+        # PCG64 state holds 128-bit ints no array format carries) -> sidecar.
+        meta = {
+            "history": self.history,
+            "rng_state": self.rng.bit_generator.state,
+        }
+        with open(f"{path}_meta.json", "w") as f:
+            json.dump(meta, f)
 
     def restore_training_state(self, path: Path) -> int:
-        """Restore params/opt_state/scheduler; returns completed epoch count."""
+        """Restore params/opt_state/scheduler/best/rng; returns completed epoch
+        count."""
         from .checkpoint import load_pytree
 
+        path = Path(path)
         state = load_pytree(
-            Path(path),
+            path,
             like={
                 "params": self.params,
                 "opt_state": self.opt_state,
@@ -343,6 +361,8 @@ class TowerTrainer:
                 "plateau_lr": self.plateau.lr,
                 "plateau_best": float(self.plateau.best),
                 "plateau_stale": 0,
+                "best_score": float(self.best.best_score),
+                "key_data": np.asarray(jax.random.key_data(self.key)),
             },
         )
         self.params = state["params"]
@@ -350,11 +370,22 @@ class TowerTrainer:
         self.plateau.lr = float(state["plateau_lr"])
         self.plateau.best = float(state["plateau_best"])
         self.plateau.stale = int(state["plateau_stale"])
+        self.best.best_score = float(state["best_score"])
+        self.key = jax.random.wrap_key_data(jnp.asarray(state["key_data"]))
+        meta_path = Path(f"{path}_meta.json")
+        if meta_path.exists():
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.history = list(meta["history"])
+            self.rng.bit_generator.state = meta["rng_state"]
         return int(state["epochs_done"])
 
     def train(self, num_epochs: Optional[int] = None) -> list[dict]:
         num_epochs = num_epochs or self.cfg.num_epochs
-        for epoch in range(1, num_epochs + 1):
+        # Continue numbering after a restore_training_state resume so Epoch_N
+        # checkpoints and JSONL records extend the original run.
+        done = len(self.history)
+        for epoch in range(done + 1, done + num_epochs + 1):
             loss = self.train_one_epoch()
             train_scores, val_scores = self.evaluate()
             record = {
@@ -815,13 +846,13 @@ class ClassificationTrainer:
             counts.append(float(mask.sum()))
         return float(np.dot(losses, counts) / np.sum(counts))
 
-    def baseline_scores(self, compiled: CompiledBehaviors, news_emb) -> np.ndarray:
+    def baseline_scores(self, news_emb) -> np.ndarray:
         """Per-unique-news content scores (reference ``get_classification_preds``,
         ``data_model_helper.py:91-98``)."""
         return np.asarray(self._predict(self.params, news_emb))
 
     def _eval_split(self, compiled, news_emb) -> dict[str, float]:
-        preds = self.baseline_scores(compiled, news_emb)
+        preds = self.baseline_scores(news_emb)
         return compose_final_scores(compiled, baseline_scores=preds).metrics
 
     def train(self, num_epochs: Optional[int] = None) -> list[dict]:

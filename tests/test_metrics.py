@@ -117,3 +117,26 @@ def test_rank_group_preds_object_array(rng):
 def test_debug_dump(tmp_path):
     metrics.score([[1, 2]], [[1, 0]], imp_ids=["i1"], debug_dir=tmp_path)
     assert (tmp_path / "debug_json.json").exists()
+
+
+def test_score_batch_threaded_matches_serial(rng):
+    # NUM_WORKERS wiring: chunk fan-out to threads must be bit-identical to the
+    # serial pass.
+    from news_recommendation_project_v2_tpu.eval.metrics import score_batch
+
+    n, L = 300, 40
+    lens = rng.integers(5, L + 1, size=n)
+    scores = np.full((n, L), -np.inf)
+    labels = np.zeros((n, L))
+    for i, ln in enumerate(lens):
+        ranks = rng.permutation(ln) + 1
+        scores[i, :ln] = 1.0 / ranks
+        labs = np.zeros(ln)
+        labs[rng.choice(ln, size=max(1, ln // 4), replace=False)] = 1
+        if labs.sum() == ln:
+            labs[0] = 0
+        labels[i, :ln] = labs
+    serial = score_batch(scores, labels, lens, chunk=64, num_workers=1)
+    threaded = score_batch(scores, labels, lens, chunk=64, num_workers=4)
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a, b)

@@ -95,3 +95,37 @@ def test_native_is_faster(rng):
     t_python = time.perf_counter() - t0
     # Not a strict benchmark, but the native path should never be slower by 2x.
     assert t_native < max(t_python * 2, 1.0), (t_native, t_python)
+
+
+def test_native_tab_newline_whitespace_parity():
+    # Python str.split() splits on any whitespace; the native tokenizer must
+    # match (ADVICE r1: it used to split on ' ' only).
+    imps = ["N1-1\tN2-0 N3-1", "N4-0\nN5-1"]
+    hist = ["N6\tN7\nN8", "  \t  "]  # second row: whitespace-only -> missing
+    a = compile_behaviors(imps, hist, use_native=True)
+    b = compile_behaviors(imps, hist, use_native=False)
+    assert a.news_ids.tolist() == b.news_ids.tolist()
+    np.testing.assert_array_equal(a.hist_rev, b.hist_rev)
+    np.testing.assert_array_equal(a.hist_lens, b.hist_lens)
+    np.testing.assert_array_equal(a.hist_row_index, b.hist_row_index)
+    np.testing.assert_array_equal(a.labels_flat, b.labels_flat)
+    assert a.hist_lens.tolist() == [3]
+
+
+def test_non_nan_float_history_rejected_both_paths():
+    # Only NaN floats mean "missing"; any other float is a type error on both
+    # paths (the native used to silently treat 3.5 as missing).
+    for use_native in (True, False):
+        with pytest.raises((TypeError, AttributeError)):
+            compile_behaviors(["N1-1 N2-0"], [3.5], use_native=use_native)
+
+
+def test_malformed_label_raises_both_paths():
+    # A labeled token must end in -0/-1; both paths must reject instead of the
+    # old behavior where the native ValueError was swallowed and the Python
+    # fallback silently parsed any digit.
+    for use_native in (True, False):
+        with pytest.raises(ValueError, match="malformed labeled token in row 1"):
+            compile_behaviors(
+                ["N1-1 N2-0", "N3-7 N4-1"], [None, None], use_native=use_native
+            )

@@ -86,3 +86,51 @@ def test_graft_entry_and_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 1024)
     g.dryrun_multichip(jax.device_count())
+
+
+def test_resume_restores_best_rng_and_history(tmp_path):
+    # ADVICE r1: resume used to restart the best-tracker, history, and RNG
+    # streams, so post-resume epochs replayed epoch-1 sampling and the first
+    # eval could overwrite Best_model_* with a worse model.
+    imps, hist, emb = synthetic_learnable_behaviors(num_news=80, num_rows=80, dim=D)
+    c = compile_behaviors(imps, hist).with_history_view()
+    emb_j = jnp.asarray(align_embeddings(c.news_ids, emb))
+
+    def trainer_with_ckpt(subdir):
+        tower = build_tower(
+            TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
+        )
+        params = jax.jit(
+            lambda: tower.init(jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+        )()
+        return TowerTrainer(
+            tower.apply,
+            params,
+            c,
+            emb_j,
+            compiled_val=c,
+            news_emb_val=emb_j,
+            cfg=TrainConfig(learning_rate=3e-4, num_epochs=1, batch_size=64, seed=0),
+            ckpt_dir=tmp_path / subdir,
+            exp_name="resume_test",
+        )
+
+    t1 = trainer_with_ckpt("ck1")
+    t1.train(2)
+    t1.save_training_state(tmp_path / "state")
+
+    t2 = trainer_with_ckpt("ck2")
+    done = t2.restore_training_state(tmp_path / "state")
+    assert done == 2
+    assert t2.best.best_score == t1.best.best_score
+    assert t2.history == t1.history
+    # RNG streams continue, not restart: both trainers draw identical samples.
+    assert t2.rng.bit_generator.state == t1.rng.bit_generator.state
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(t2.key)),
+        np.asarray(jax.random.key_data(t1.key)),
+    )
+    # Epoch numbering continues: next epoch is 3, not 1.
+    t2.train(1)
+    assert t2.history[-1]["epoch"] == 3
+    assert (tmp_path / "ck2" / "Epoch_3").exists()

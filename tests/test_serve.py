@@ -90,3 +90,41 @@ def test_rank_batch_matches_single(ranker):
         assert [c for c, _ in got] == [c for c, _ in single]
         for (_, a), (_, b) in zip(got, single):
             assert a == pytest.approx(b, abs=1e-5) or (a == -np.inf and b == -np.inf)
+
+
+def test_rank_beyond_largest_bucket(rng):
+    # MIND impressions reach ~600 candidates; the candidate axis must be
+    # open-ended (VERDICT r1: 350 candidates crashed with a broadcast error).
+    n = 700
+    emb = rng.standard_normal((n, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"N{i}" for i in range(n)]
+    r = Ranker(lambda p, e, m: average_pool(e, m), None, emb, ids)
+    for ncand in (350, 600):
+        cands = [f"N{i}" for i in range(ncand)]
+        out = r.rank(["N0", "N1"], cands)
+        assert len(out) == ncand
+        assert {c for c, _ in out} == set(cands)
+        # Order matches brute-force cosine against the mean history vector.
+        user = emb[:2].mean(0)
+        user /= np.linalg.norm(user)
+        brute = emb[:ncand] @ user
+        got_scores = dict(out)
+        for i, c in enumerate(cands):
+            assert got_scores[c] == pytest.approx(float(brute[i]), abs=2e-4)
+
+
+def test_rank_batch_beyond_largest_bucket(rng):
+    n = 500
+    emb = rng.standard_normal((n, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"N{i}" for i in range(n)]
+    r = Ranker(lambda p, e, m: average_pool(e, m), None, emb, ids)
+    requests = [
+        (["N0"], [f"N{i}" for i in range(420)]),
+        (["N1", "N2"], [f"N{i}" for i in range(10)]),
+    ]
+    batched = r.rank_batch(requests)
+    for req, got in zip(requests, batched):
+        single = r.rank(*req)
+        assert [c for c, _ in got] == [c for c, _ in single]
