@@ -13,7 +13,13 @@ import jax.numpy as jnp
 
 from ..config import DataSubset, EncoderConfig, NewsDataset
 from ..data.ingest import load_dataset
-from ..models.news_encoder import HashTokenizer, NewsEncoder, convert_hf_state_dict
+from ..models.news_encoder import (
+    HashTokenizer,
+    NewsEncoder,
+    convert_hf_state_dict,
+    encoder_config_from_hf,
+    load_hf_weights,
+)
 
 
 def build_context(
@@ -38,32 +44,63 @@ def build_encoder(
     hf_checkpoint: Optional[Path] = None,
     encoder_config: Optional[EncoderConfig] = None,
     max_length: int = 128,
+    allow_hash_tokenizer: bool = False,
+    compute_dtype: Optional[str] = None,
 ):
-    """Encoder + tokenizer. With ``hf_checkpoint`` (a torch state-dict file or
-    HF model dir) the weights are converted; otherwise a seeded random encoder
-    + hash tokenizer (offline mode — synthetic/CI use)."""
-    if hf_checkpoint is not None and encoder_config is not None:
-        raise ValueError(
-            "--hf-checkpoint requires the full-size default encoder geometry; "
-            "a custom/tiny EncoderConfig would silently drop checkpoint layers"
-        )
-    cfg = encoder_config or EncoderConfig()
-    enc = NewsEncoder(cfg)
-    tok = HashTokenizer(vocab_size=cfg.vocab_size, max_length=max_length)
-    if hf_checkpoint is not None:
-        import torch
+    """Encoder + tokenizer + params.
 
-        path = Path(hf_checkpoint)
-        if path.is_dir():
-            state = torch.load(
-                path / "pytorch_model.bin", map_location="cpu", weights_only=True
+    With ``hf_checkpoint`` pointing at an HF model directory, everything is
+    derived from the checkpoint the way the reference's ``AutoModel``/
+    ``AutoTokenizer`` pair does (``modeling_utils.py:92-103``): geometry +
+    pooling from ``config.json``, weights from safetensors (single or sharded)
+    or ``pytorch_model.bin``, tokenization from ``tokenizer.json`` via the
+    ``tokenizers`` engine — so raw text reproduces the reference's embeddings.
+
+    Without a checkpoint: seeded random encoder + ``HashTokenizer`` (offline
+    mode — synthetic/CI use only). A real checkpoint WITHOUT tokenizer files is
+    an error unless ``allow_hash_tokenizer=True``, because real weights + hash
+    token ids produce garbage embeddings.
+    """
+    import dataclasses
+
+    path = Path(hf_checkpoint) if hf_checkpoint is not None else None
+    hf_config = None
+    if path is not None and path.is_dir() and (path / "config.json").exists():
+        with open(path / "config.json") as f:
+            hf_config = json.load(f)
+
+    if hf_config is not None:
+        if encoder_config is not None:
+            raise ValueError(
+                "the checkpoint ships its own config.json; passing an explicit "
+                "EncoderConfig too would silently mismatch checkpoint layers"
             )
-        else:
-            state = torch.load(path, map_location="cpu", weights_only=True)
-        params = convert_hf_state_dict(
-            {k: v.numpy() for k, v in state.items()}, cfg
-        )
+        cfg = encoder_config_from_hf(hf_config)
+    elif path is not None and encoder_config is None:
+        cfg = EncoderConfig()  # bare state-dict file: assume e5 geometry
     else:
+        cfg = encoder_config or EncoderConfig()
+    if compute_dtype is not None:
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    enc = NewsEncoder(cfg)
+
+    if path is not None:
+        from ..data.tokenizer import HFTokenizer, has_tokenizer_file
+
+        if path.is_dir() and has_tokenizer_file(path):
+            tok = HFTokenizer.from_dir(path, max_length=max_length)
+        elif allow_hash_tokenizer:
+            tok = HashTokenizer(vocab_size=cfg.vocab_size, max_length=max_length)
+        else:
+            raise FileNotFoundError(
+                f"{path} has no tokenizer.json: real encoder weights with hash "
+                "token ids produce garbage embeddings. Export the checkpoint "
+                "with tokenizer.save_pretrained(...), or pass "
+                "allow_hash_tokenizer=True for synthetic-data use."
+            )
+        params = convert_hf_state_dict(load_hf_weights(path), cfg)
+    else:
+        tok = HashTokenizer(vocab_size=cfg.vocab_size, max_length=max_length)
         ids, mask = tok(["init"])
         params = jax.jit(
             lambda: enc.init(

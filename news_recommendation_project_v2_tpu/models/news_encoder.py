@@ -105,14 +105,15 @@ class NewsEncoder(nn.Module):
         tok_type = nn.Embed(
             1, cfg.hidden_dim, dtype=dtype, name="token_type_embeddings"
         )(jnp.zeros_like(token_ids))
-        hidden = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="embeddings_norm")(
-            word + pos + tok_type
-        )
+        hidden = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="embeddings_norm"
+        )(word + pos + tok_type)
         for i in range(cfg.num_layers):
             hidden = EncoderLayer(
                 cfg.hidden_dim,
                 cfg.num_heads,
                 cfg.intermediate_dim,
+                layer_norm_eps=cfg.layer_norm_eps,
                 dtype=dtype,
                 name=f"layer_{i}",
             )(hidden, mask)
@@ -138,12 +139,24 @@ class NewsEncoder(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+_HF_KEY_PREFIXES = ("roberta.", "bert.", "model.")
+
+
 def convert_hf_state_dict(
     state_dict: dict[str, "np.ndarray"], config: EncoderConfig
 ) -> dict:
     """Map a HuggingFace ``XLMRobertaModel``/``BertModel`` torch state dict (as
     numpy arrays) onto ``NewsEncoder`` params. Torch ``Linear`` stores [out, in];
-    flax ``Dense`` wants [in, out]."""
+    flax ``Dense`` wants [in, out]. Task-head prefixes (``roberta.`` etc. from
+    ``*ForMaskedLM``-style exports) are stripped."""
+    for prefix in _HF_KEY_PREFIXES:
+        if any(k.startswith(prefix + "embeddings.") for k in state_dict):
+            state_dict = {
+                k[len(prefix):]: v
+                for k, v in state_dict.items()
+                if k.startswith(prefix)
+            }
+            break
 
     def g(key):
         arr = state_dict[key]
@@ -179,6 +192,87 @@ def convert_hf_state_dict(
             "ffn_norm": ln(f"{p}.output.LayerNorm"),
         }
     return {"params": params}
+
+
+def encoder_config_from_hf(hf_config: dict, **overrides) -> EncoderConfig:
+    """Derive an ``EncoderConfig`` from an HF ``config.json`` dict, including
+    the architecture-name pooling dispatch (reference ``output_pool``,
+    ``modeling_utils.py:62-75``: Qwen2->last, GTE ``NewModel``->first,
+    XLM-R (e5)->mean, default first)."""
+    import dataclasses
+
+    arch = (hf_config.get("architectures") or ["XLMRobertaModel"])[0]
+    pooling = {
+        "Qwen2ForCausalLM": "last",
+        "NewModel": "first",
+        "XLMRobertaModel": "mean",
+    }.get(arch, "first")
+    cfg = EncoderConfig(
+        vocab_size=hf_config["vocab_size"],
+        hidden_dim=hf_config["hidden_size"],
+        num_layers=hf_config["num_hidden_layers"],
+        num_heads=hf_config["num_attention_heads"],
+        intermediate_dim=hf_config["intermediate_size"],
+        max_position=hf_config.get("max_position_embeddings", 514),
+        layer_norm_eps=hf_config.get("layer_norm_eps", 1e-5),
+        pooling=pooling,
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def load_hf_weights(path) -> dict[str, "np.ndarray"]:
+    """Read an HF checkpoint's weights as numpy arrays, handling every format
+    the ecosystem ships (the reference delegates to ``AutoModel``,
+    ``modeling_utils.py:93-99``): single/sharded safetensors, then
+    ``pytorch_model.bin``; a direct file path loads that file."""
+    from pathlib import Path
+
+    path = Path(path)
+
+    def load_safetensors(f):
+        from safetensors.numpy import load_file
+
+        try:
+            return load_file(f)
+        except Exception:
+            # bf16 tensors can't be viewed as numpy directly in older
+            # safetensors; go through torch and downcast explicitly.
+            import torch
+            from safetensors.torch import load_file as load_torch
+
+            return {k: v.float().numpy() for k, v in load_torch(f).items()}
+
+    if path.is_file():
+        if path.suffix == ".safetensors":
+            return load_safetensors(path)
+        import torch
+
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        return {k: np.asarray(v.float().numpy()) for k, v in state.items()}
+
+    single = path / "model.safetensors"
+    if single.exists():
+        return load_safetensors(single)
+    index = path / "model.safetensors.index.json"
+    if index.exists():
+        import json
+
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        out: dict[str, np.ndarray] = {}
+        for shard in sorted(set(weight_map.values())):
+            out.update(load_safetensors(path / shard))
+        return out
+    binfile = path / "pytorch_model.bin"
+    if binfile.exists():
+        import torch
+
+        state = torch.load(binfile, map_location="cpu", weights_only=True)
+        return {k: np.asarray(v.float().numpy()) for k, v in state.items()}
+    raise FileNotFoundError(
+        f"No weights found under {path} (looked for model.safetensors, "
+        "model.safetensors.index.json, pytorch_model.bin)"
+    )
 
 
 # ---------------------------------------------------------------------------
