@@ -187,12 +187,36 @@ class TokenStore:
         return out, mask
 
     def save(self, path: Path) -> None:
+        """``.npz`` single-file dump (in-RAM stores). For out-of-core stores
+        use ``save_dir``/``open_dir``."""
         np.savez(Path(path), states=self.states, offsets=self.offsets)
 
     @classmethod
     def load(cls, path: Path) -> "TokenStore":
         z = np.load(Path(path))
         return cls(states=z["states"], offsets=z["offsets"])
+
+    def save_dir(self, path: Path) -> None:
+        """Directory format (``states.npy`` + ``offsets.npy``): unlike npz this
+        reopens zero-copy via memmap, which is what makes MIND-scale stores
+        usable (65k news x 512 tokens x 1024 f32 ~ 137GB; see size model in
+        BASELINE.md)."""
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np.save(path / "states.npy", self.states)
+        np.save(path / "offsets.npy", self.offsets)
+
+    @classmethod
+    def open_dir(cls, path: Path, mmap: bool = True) -> "TokenStore":
+        """Open a directory-format store; with ``mmap`` (default) token states
+        stay on disk and ``gather_padded`` reads only the requested rows —
+        the out-of-core equivalent of the reference's SQLite BLOB readback
+        (``modeling_utils.py:456-495``, ``data_utils.py:878-890``) without the
+        per-item torch-unpickle cost."""
+        path = Path(path)
+        states = np.load(path / "states.npy", mmap_mode="r" if mmap else None)
+        offsets = np.load(path / "offsets.npy")
+        return cls(states=states, offsets=offsets)
 
     @classmethod
     def from_ragged(cls, arrays: list[np.ndarray]) -> "TokenStore":
@@ -250,11 +274,25 @@ def build_token_store(
     token_ids: np.ndarray,
     token_mask: np.ndarray,
     batch_size: int = 64,
+    out_dir: Optional[Path] = None,
+    store_dtype=np.float32,
 ) -> TokenStore:
     """Run the encoder WITHOUT pooling and store mask-trimmed token states
-    (reference ``store_text_embed_full_eval``, ``modeling_utils.py:456-473``)."""
-    arrays: list[np.ndarray] = []
+    (reference ``store_text_embed_full_eval``, ``modeling_utils.py:456-473``).
+
+    With ``out_dir`` the states stream straight into a preallocated disk-backed
+    memmap (total size is known up front from the mask), so corpora whose token
+    states exceed host RAM build without ever materializing in memory; the
+    returned store reads back through the memmap. ``store_dtype=np.float16``
+    halves the footprint (the reference's fp16-weights path persists fp16
+    states too, ``modeling_utils.py:98,463``)."""
     n = token_ids.shape[0]
+    lens = token_mask.sum(axis=1).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+
+    hidden_dim: Optional[int] = None
+    states = None  # allocated lazily once D is known from the first batch
+    arrays: list[np.ndarray] = []
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
         pad = batch_size - (stop - start)
@@ -265,9 +303,29 @@ def build_token_store(
                 encoder_hidden_apply, params, jnp.asarray(ids_b), jnp.asarray(mask_b)
             )
         )
+        if out_dir is not None and states is None:
+            hidden_dim = hidden.shape[-1]
+            out_dir = Path(out_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            states = np.lib.format.open_memmap(
+                out_dir / "states.npy",
+                mode="w+",
+                dtype=store_dtype,
+                shape=(int(offsets[-1]), hidden_dim),
+            )
         for j in range(stop - start):
-            ln = int(token_mask[start + j].sum())
-            arrays.append(hidden[j, :ln])
+            ln = int(lens[start + j])
+            trimmed = hidden[j, :ln].astype(store_dtype)
+            if states is not None:
+                a = int(offsets[start + j])
+                states[a : a + ln] = trimmed
+            else:
+                arrays.append(trimmed)
+    if out_dir is not None:
+        states.flush()
+        np.save(Path(out_dir) / "offsets.npy", offsets)
+        # Reopen read-only: training must never mutate the store in place.
+        return TokenStore.open_dir(out_dir, mmap=True)
     return TokenStore.from_ragged(arrays)
 
 

@@ -567,9 +567,15 @@ class JointTowerTrainer(TowerTrainer):
 class EndToEndTrainer:
     """Backprops through a learned token-attention news encoder AND the history
     tower from frozen per-token states (reference ``AttentionAttentionTrainer``,
-    ``trainer.py:952-1206``): loss-only epochs, NaN-loss abort, per-epoch
-    checkpoints; ``materialize_news_embeddings`` covers the offline
-    ``apply_token_attn`` pass (``data_model_helper.py:374-413``)."""
+    ``trainer.py:952-1206``): NaN-loss abort, per-epoch checkpoints;
+    ``materialize_news_embeddings`` covers the offline ``apply_token_attn``
+    pass (``data_model_helper.py:374-413``).
+
+    Exceeds the reference's loss-only epochs: with ``eval_each_epoch=True`` the
+    learned news embeddings are materialized per epoch and full MIND metrics
+    computed (plus best-checkpoint gating when ``compiled_val``/
+    ``val_token_store`` are given) — cheap now that materialization is one
+    scanned device program."""
 
     TOKEN_BUCKETS = (64, 128, 256, 512)
     UNIQUE_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
@@ -589,8 +595,15 @@ class EndToEndTrainer:
         buckets: tuple[int, ...] = HISTORY_BUCKETS,
         max_token_len: int = 512,
         remote_sync: Optional[Callable[[Path], None]] = None,
+        compiled_val: Optional[CompiledBehaviors] = None,
+        val_token_store=None,
+        eval_each_epoch: bool = False,
     ):
         assert len(compiled_train.hist_lens) == compiled_train.num_rows
+        assert (compiled_val is None) == (val_token_store is None), (
+            "compiled_val and val_token_store come together (val impressions "
+            "score against the val corpus's learned embeddings)"
+        )
         # remote_sync generalizes the reference's hardcoded Azure Blob upload of
         # epoch checkpoints (trainer.py:1007-1015,1172-1197): any callable
         # receiving the local checkpoint path (rsync, gcs upload, ...).
@@ -600,6 +613,10 @@ class EndToEndTrainer:
         self.tower_apply = tower_apply
         self.ct = compiled_train
         self.store = token_store
+        self.cv = compiled_val
+        self.store_val = val_token_store
+        self.eval_each_epoch = eval_each_epoch
+        self._eval_tower_apply = lambda p, e, m: tower_apply(p["tower"], e, m)
         self.cfg = cfg
         self.log_dir = log_dir
         self.exp_name = exp_name
@@ -700,29 +717,67 @@ class EndToEndTrainer:
             counts.append(float(batch[7].sum()))
         return float(np.dot(losses, counts) / np.sum(counts))
 
+    def _eval_split(self, compiled: CompiledBehaviors, store) -> dict[str, float]:
+        """Materialize the learned news embeddings for this split's corpus,
+        then run the standard tower-over-histories scoring + MIND metrics."""
+        emb = jnp.asarray(self.materialize_news_embeddings(store=store))
+        slots, cand_rows = history_candidate_slots(compiled)
+        scores = score_all_impressions(
+            self._eval_tower_apply,
+            self.params,
+            emb,
+            compiled.hist_rev,
+            compiled.hist_lens,
+            compiled.imp_rev[slots],
+            cand_rows,
+            batch_size=self.cfg.batch_size,
+        )
+        return compose_final_scores(compiled, history_scores=scores).metrics
+
+    def evaluate(self) -> tuple[dict, Optional[dict]]:
+        train_scores = self._eval_split(self.ct, self.store)
+        val_scores = (
+            self._eval_split(self.cv, self.store_val)
+            if self.cv is not None
+            else None
+        )
+        return train_scores, val_scores
+
     def train(self, num_epochs: Optional[int] = None) -> list[dict]:
         num_epochs = num_epochs or self.cfg.num_epochs
         for epoch in range(1, num_epochs + 1):
             loss = self.train_one_epoch()
-            self.history.append(
-                {"exp_name": self.exp_name, "epoch": epoch, "loss": loss}
-            )
+            record: dict = {"exp_name": self.exp_name, "epoch": epoch, "loss": loss}
+            val_scores = None
+            if self.eval_each_epoch:
+                train_scores, val_scores = self.evaluate()
+                record["train"] = train_scores
+                record["val"] = val_scores
+            self.history.append(record)
             _log_jsonl(
                 self.log_dir,
                 "train_final_history_score.jsonl",
-                {"exp_name": self.exp_name, "epoch": epoch, "loss": loss},
+                record,
             )
             if self.best.ckpt_dir is not None:
-                from .checkpoint import save_pytree
+                if val_scores is not None:
+                    # Metric-gated best checkpoint (BestTracker also writes the
+                    # Epoch_N checkpoint itself).
+                    self.best.update(epoch, val_scores, self.params)
+                    ckpt_path = self.best.ckpt_dir / f"Epoch_{epoch}"
+                else:
+                    from .checkpoint import save_pytree
 
-                self.best.ckpt_dir.mkdir(parents=True, exist_ok=True)
-                ckpt_path = self.best.ckpt_dir / f"Epoch_{epoch}"
-                save_pytree(ckpt_path, self.params)
+                    self.best.ckpt_dir.mkdir(parents=True, exist_ok=True)
+                    ckpt_path = self.best.ckpt_dir / f"Epoch_{epoch}"
+                    save_pytree(ckpt_path, self.params)
                 if self.remote_sync is not None:
                     self.remote_sync(ckpt_path)
         return self.history
 
-    def materialize_news_embeddings(self, batch_size: int = 64) -> np.ndarray:
+    def materialize_news_embeddings(
+        self, batch_size: int = 64, store=None
+    ) -> np.ndarray:
         """Learned token encoder over the whole store -> [N, D] news embeddings
         (reference ``apply_token_attn``; shared helper in ``ops.encode``)."""
         from ..ops.encode import materialize_from_token_store
@@ -730,7 +785,7 @@ class EndToEndTrainer:
         return materialize_from_token_store(
             self.token_encoder_apply,
             self.params["token_encoder"],
-            self.store,
+            self.store if store is None else store,
             batch_size=batch_size,
             max_token_len=self.max_token_len,
             token_buckets=self.TOKEN_BUCKETS,
