@@ -1,9 +1,13 @@
 """Headline benchmark: impressions/second at eval scoring (BASELINE.json north
 star) on a MIND-small-scale synthetic workload.
 
-Measured pipeline (ours, on the available accelerator): full-size latent-attention
-user tower over length-bucketed histories + one fused gather+dot cosine pass over
-every candidate slot (``ops.scoring``).
+Measured pipeline (ours, on the available accelerator): the FLAT zero-padding
+eval — the latent tower is token-local (each history token cross-attends only
+to the 64 shared latents), so the whole tower pass runs over the flat token
+stream with no padding and no length buckets, pools via sorted segment-add,
+and fuses with the cosine pass into ONE compiled program / one dispatch
+(``ops.scoring.FlatEvalPlan``). Index grids are per-dataset constants and are
+uploaded once, as in production epoch evals.
 
 Baseline (reference algorithm on the same host): the per-impression scoring loop
 of ``data_model_helper.py:174-239`` — torch tower forward over pad-to-batch-max
@@ -67,7 +71,7 @@ def bench_ours(hist_lens, hist_rev, cand_rev, cand_row):
 
     from news_recommendation_project_v2_tpu.config import TowerConfig
     from news_recommendation_project_v2_tpu.models import build_tower
-    from news_recommendation_project_v2_tpu.ops import score_all_impressions
+    from news_recommendation_project_v2_tpu.ops.scoring import FlatEvalPlan
 
     log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
     tower = build_tower(TowerConfig(kind="latent"))
@@ -91,29 +95,16 @@ def bench_ours(hist_lens, hist_rev, cand_rev, cand_row):
     def apply(p, e, m):
         return tower.apply(p, e, m).astype(jnp.float32)
 
-    # Index arrays are constant per eval dataset — upload once, like production.
-    hist_rev_dev = jax.device_put(hist_rev)
-    cand_rev_dev = jax.device_put(cand_rev)
-    cand_row_dev = jax.device_put(cand_row)
+    # Index grids are constant per eval dataset — build + upload once, like
+    # production epoch evals (plan reuse hits the same compiled program).
+    plan = FlatEvalPlan(
+        hist_rev, hist_lens, cand_rev, cand_row, chunk_tokens=131072
+    )
 
     def run():
-        return score_all_impressions(
-            apply,
-            params_bf16,
-            emb_dev,
-            hist_rev_dev,
-            hist_lens,
-            cand_rev_dev,
-            cand_row_dev,
-            query_news_emb=emb_bf16,
-            batch_size=1024,
-            tokens_per_batch=65536,
-            # 3 buckets: each bucket compiles one program and the remote
-            # compile service here is slow; extra padding compute is cheap.
-            buckets=(32, 128, 600),
-        )
+        return plan.score(apply, params_bf16, emb_dev, query_news_emb=emb_bf16)
 
-    log("warmup (compiles one program per history bucket)...")
+    log("warmup (compiles the fused flat-eval program)...")
     t0 = time.perf_counter()
     scores = run()
     log(f"warmup took {time.perf_counter() - t0:.1f}s; {len(scores)} slots scored")

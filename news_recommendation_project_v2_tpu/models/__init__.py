@@ -63,6 +63,17 @@ def build_tower(config: TowerConfig) -> nn.Module:
     raise ValueError(f"Unknown tower kind: {config.kind!r}")
 
 
+def supports_flat_scoring(config: TowerConfig) -> bool:
+    """True when the tower is token-local up to its final pool, i.e. every
+    history token's hidden state depends only on that token (the latent tower:
+    each token cross-attends to the 64 SHARED latents; softmax is over latents,
+    per token). Such towers can run over the flat token stream with zero
+    padding (``ops.scoring.user_vectors_flat``). ``final_attention`` softmaxes
+    over the history axis and ``transformer`` self-attends across it — both
+    need the padded [batch, bucket] path."""
+    return config.kind == "latent"
+
+
 __all__ = [
     "ClassificationHead",
     "ClassificationHeadCatEmbed",
@@ -86,5 +97,5 @@ __all__ = [
     "first_token_pool",
     "last_token_pool",
     "pooling_for_architecture",
-    "build_tower",
+    "supports_flat_scoring",
 ]

@@ -34,13 +34,13 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import HISTORY_BUCKETS
 from ..data.grouping import lengths_to_offsets
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def cosine_scores_flat(
+def _cosine_impl(
     user_vecs: jnp.ndarray,  # [R, D] user vector per impression row
     news_emb: jnp.ndarray,  # [N, D] news embedding table
     cand_rev: jnp.ndarray,  # [C] candidate news index per flat slot
@@ -56,21 +56,43 @@ def cosine_scores_flat(
     return dot / (nu * nc)
 
 
+cosine_scores_flat = functools.partial(jax.jit, static_argnames=("eps",))(
+    _cosine_impl
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _cosine_sharded(mesh: Mesh):
+    """Data-parallel cosine pass: candidate slots sharded over ``data``, user
+    vectors and table replicated (each shard's gathers are local)."""
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        _cosine_impl,
+        static_argnames=("eps",),
+        in_shardings=(rep, rep, dat, dat),
+        out_shardings=dat,
+    )
+
+
 def cosine_scores_chunked(
     user_vecs: jnp.ndarray,
     news_emb: jnp.ndarray,
     cand_rev: np.ndarray,
     cand_row: np.ndarray,
     chunk: int = 1 << 19,
+    mesh: Optional[Mesh] = None,
 ) -> np.ndarray:
     """``cosine_scores_flat`` over fixed-shape slot chunks: the gathered [C, D]
     matrices for MIND-large-scale slot counts (7M+ slots) exceed HBM if
     materialized whole; chunking bounds the transient to ~4GB and keeps one
-    compiled program regardless of C."""
+    compiled program regardless of C. With ``mesh``, slots shard over the
+    ``data`` axis."""
+    cosine_fn = cosine_scores_flat if mesh is None else _cosine_sharded(mesh)
     total = len(cand_rev)
     if total <= chunk:
         return np.asarray(
-            cosine_scores_flat(
+            cosine_fn(
                 user_vecs, news_emb, jnp.asarray(cand_rev), jnp.asarray(cand_row)
             )
         )
@@ -88,7 +110,7 @@ def cosine_scores_chunked(
         b = min(a + chunk, total)
         pad = chunk - (b - a)
         outs.append(
-            cosine_scores_flat(
+            cosine_fn(
                 user_vecs,
                 news_emb,
                 sliced(cand_rev, a, b, pad),
@@ -99,12 +121,7 @@ def cosine_scores_chunked(
     return np.concatenate(fetched)[:total]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tower_apply", "batch", "bucket_len"),
-    donate_argnums=(0,),
-)
-def _bucket_update(
+def _bucket_update_impl(
     user_vecs,  # [R, D] accumulator (donated)
     params,
     news_emb,  # [N, D]
@@ -141,6 +158,29 @@ def _bucket_update(
     )
     outs = outs.reshape(n_pad, -1).astype(user_vecs.dtype)
     return user_vecs.at[rows].set(outs, mode="drop")
+
+
+_bucket_update = functools.partial(
+    jax.jit,
+    static_argnames=("tower_apply", "batch", "bucket_len"),
+    donate_argnums=(0,),
+)(_bucket_update_impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _bucket_update_sharded(mesh: Mesh):
+    """Mesh variant of ``_bucket_update``: the per-bucket row arrays shard over
+    ``data`` (GSPMD propagates the layout through the scanned tower batches and
+    combines the scatter), accumulator/params/tables replicated."""
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        _bucket_update_impl,
+        static_argnames=("tower_apply", "batch", "bucket_len"),
+        donate_argnums=(0,),
+        in_shardings=(rep, rep, rep, rep, dat, dat, dat),
+        out_shardings=rep,
+    )
 
 
 def _probe_out(tower_apply: Callable, params, table: jnp.ndarray):
@@ -201,6 +241,7 @@ def user_vectors_device(
     buckets: tuple[int, ...] = HISTORY_BUCKETS,
     tokens_per_batch: Optional[int] = None,
     out_dtype=jnp.float32,
+    mesh: Optional[Mesh] = None,
 ) -> jax.Array:
     """Device-resident [num_rows, out_dim] user-vector matrix (see module doc).
 
@@ -218,6 +259,7 @@ def user_vectors_device(
     # program per bucket (remote compiles are the expensive resource here)
     # while chunks stay large enough to amortize dispatch.
     scan_steps = 8
+    update_fn = _bucket_update if mesh is None else _bucket_update_sharded(mesh)
     for bucket_len, batch, starts, lens, rows in _bucket_plan(
         hist_lens, buckets, batch_size, tokens_per_batch
     ):
@@ -226,7 +268,7 @@ def user_vectors_device(
         for a in range(0, n, chunk):
             b = min(a + chunk, n)
             pad = chunk - (b - a)
-            user_vecs = _bucket_update(
+            user_vecs = update_fn(
                 user_vecs,
                 params,
                 news_emb,
@@ -268,6 +310,299 @@ def user_vectors_bucketed(
         out_dtype=probe.dtype,
     )
     return np.asarray(vecs)
+
+
+# ----------------------------------------------------------------------------
+# Flat (zero-padding) scoring path for token-local towers.
+#
+# The latent tower's cross-attention attends each history token to the 64
+# SHARED latents only (softmax over latents, per token); LayerNorms, the GEGLU
+# feed-forward, and the residuals are all per-token, and the only cross-token
+# op is the final masked mean-pool. The whole tower is therefore a per-token
+# function followed by a segment reduction — so instead of padding ragged
+# histories into [batch, bucket] blocks (2-2.5x padded tokens at MIND history
+# statistics), we run it over the FLAT token stream with ZERO padding and
+# pool with a sorted segment-add. One compiled program regardless of history
+# length distribution; compute cost = real tokens, not padded tokens.
+# ----------------------------------------------------------------------------
+
+
+DEFAULT_FLAT_CHUNK = 64 * 1024
+
+
+def _flat_chunk_update_impl(user_vecs, params, table, idx, rows, tower_apply):
+    """Per-token tower over one flat token chunk + sorted segment-add of the
+    hidden states into the per-row accumulator. ``rows`` is non-decreasing
+    (tokens are stored row-major); out-of-range rows (padding) are dropped."""
+    tokens = table[idx]  # [C, D] gather
+    h = tower_apply(params, tokens[None], None)[0]  # [C, D] per-token hidden
+    return user_vecs.at[rows].add(
+        h.astype(user_vecs.dtype), mode="drop", indices_are_sorted=True
+    )
+
+
+_flat_chunk_update = functools.partial(
+    jax.jit, static_argnames=("tower_apply",), donate_argnums=(0,)
+)(_flat_chunk_update_impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_chunk_update_sharded(mesh: Mesh):
+    """Mesh variant of ``_flat_chunk_update``: token chunks shard over ``data``
+    (each device runs the per-token tower on its slice), the accumulator stays
+    replicated — XLA inserts the cross-device combine for the segment-add.
+    Rows straddling a shard boundary are handled by the add semantics."""
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        _flat_chunk_update_impl,
+        static_argnames=("tower_apply",),
+        donate_argnums=(0,),
+        in_shardings=(rep, rep, rep, dat, dat),
+        out_shardings=rep,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("normalize",))
+def _flat_finalize(user_vecs, lens, normalize: bool):
+    """Mean-pool denominators + optional L2 norm — exactly the tower's masked
+    pooling epilogue (``models/latent_attention.py:127-139``), applied once to
+    the accumulated sums instead of per padded batch."""
+    denom = jnp.maximum(lens.astype(user_vecs.dtype), 1.0)[:, None]
+    pooled = user_vecs / denom
+    if normalize:
+        norm = jnp.sqrt((pooled * pooled).sum(-1, keepdims=True) + 1e-12)
+        pooled = pooled / norm
+    return pooled
+
+
+def user_vectors_flat(
+    tower_apply: Callable,
+    params,
+    news_emb: jnp.ndarray,
+    hist_rev: np.ndarray,
+    hist_lens: np.ndarray,
+    out_dim: int,
+    chunk_tokens: int = DEFAULT_FLAT_CHUNK,
+    max_len: Optional[int] = None,
+    normalize: bool = True,
+    out_dtype=jnp.float32,
+    mesh: Optional[Mesh] = None,
+) -> jax.Array:
+    """Device-resident [num_rows, out_dim] user vectors via the flat path.
+
+    ``tower_apply(params, tokens[None], None)`` must return the PER-TOKEN
+    hidden states (mask=None skips the pool — the flax towers do this), and the
+    tower must be token-local (``models.supports_flat_scoring``). ``normalize``
+    must match the tower's ``output_normalize``. ``max_len=None`` uses every
+    history token (the reference never truncates; with no padding cost there is
+    no reason to); an int keeps the most RECENT ``max_len`` clicks per row for
+    parity with the bucketed path's cap.
+    """
+    hist_lens = np.asarray(hist_lens)
+    idx = np.ascontiguousarray(np.asarray(hist_rev, dtype=np.int32))
+    num_rows = len(hist_lens)
+    if max_len is not None and num_rows and (hist_lens > max_len).any():
+        offsets = lengths_to_offsets(hist_lens)
+        keep = np.minimum(hist_lens, max_len).astype(np.int64)
+        starts = offsets[1:] - keep  # end-aligned: most recent clicks
+        keep_off = lengths_to_offsets(keep)
+        sel = np.repeat(starts, keep) + (
+            np.arange(keep_off[-1]) - np.repeat(keep_off[:-1], keep)
+        )
+        idx = idx[sel]
+        lens_used = keep
+    else:
+        lens_used = hist_lens
+    rows = np.repeat(np.arange(num_rows, dtype=np.int32), lens_used)
+    total = len(idx)
+    n_chunks = max(1, -(-total // chunk_tokens))
+    pad = n_chunks * chunk_tokens - total
+    idx = np.pad(idx, (0, pad))
+    rows = np.pad(rows, (0, pad), constant_values=num_rows)  # OOB -> dropped
+    update_fn = (
+        _flat_chunk_update if mesh is None else _flat_chunk_update_sharded(mesh)
+    )
+    user_vecs = jnp.zeros((num_rows, out_dim), dtype=out_dtype)
+    for a in range(0, len(idx), chunk_tokens):
+        user_vecs = update_fn(
+            user_vecs,
+            params,
+            news_emb,
+            jnp.asarray(idx[a : a + chunk_tokens]),
+            jnp.asarray(rows[a : a + chunk_tokens]),
+            tower_apply=tower_apply,
+        )
+    lens_f = jnp.asarray(np.asarray(lens_used, dtype=np.float32))
+    return _flat_finalize(user_vecs, lens_f, normalize=normalize)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tower_apply", "normalize", "out_dim"),
+)
+def _flat_single_program(
+    params,
+    news_emb,  # [N, D] candidate table (f32)
+    query_table,  # [N, D] table fed to the tower (may be the same array)
+    idx2d,  # [n_chunks, chunk] flat history news indices
+    rows2d,  # [n_chunks, chunk] owning impression row (num_rows = pad/drop)
+    lens,  # [num_rows] history lengths (f32)
+    cand_rev2d,  # [n_cchunks, cchunk] candidate news indices
+    cand_row2d,  # [n_cchunks, cchunk] owning impression row
+    tower_apply: Callable,
+    normalize: bool,
+    out_dim: int,
+):
+    """The ENTIRE flat eval — per-token tower over every history-token chunk,
+    pooling epilogue, and the cosine pass — as one compiled program: a single
+    host->device dispatch and a single score fetch per eval. On
+    high-dispatch-latency links (tunneled TPUs) this removes ~1s of per-call
+    overhead vs the chunk-per-dispatch path; user vectors never leave HBM."""
+    num_rows = lens.shape[0]
+
+    def chunk_body(acc, ir):
+        i, r = ir
+        h = tower_apply(params, query_table[i][None], None)[0]
+        return (
+            acc.at[r].add(h.astype(acc.dtype), mode="drop", indices_are_sorted=True),
+            None,
+        )
+
+    acc = jnp.zeros((num_rows, out_dim), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(chunk_body, acc, (idx2d, rows2d))
+    denom = jnp.maximum(lens, 1.0)[:, None]
+    user = acc / denom
+    if normalize:
+        user = user / jnp.sqrt((user * user).sum(-1, keepdims=True) + 1e-12)
+
+    def cos_body(_, cc):
+        cr, cw = cc
+        u = user[cw]
+        c = news_emb[cr]
+        nu = jnp.maximum(jnp.linalg.norm(u, axis=-1), 1e-8)
+        nc = jnp.maximum(jnp.linalg.norm(c, axis=-1), 1e-8)
+        return None, (u * c).sum(-1) / (nu * nc)
+
+    _, scores = jax.lax.scan(cos_body, None, (cand_rev2d, cand_row2d))
+    return scores.reshape(-1)
+
+
+def _pad_to_grid(arr: np.ndarray, chunk: int, fill) -> np.ndarray:
+    """Pad a flat host array to a whole number of ``chunk``-sized rows and
+    reshape to [n_chunks, chunk]."""
+    n_chunks = max(1, -(-len(arr) // chunk))
+    padded = np.full(n_chunks * chunk, fill, dtype=arr.dtype)
+    padded[: len(arr)] = arr
+    return padded.reshape(n_chunks, chunk)
+
+
+class FlatEvalPlan:
+    """Pre-padded, device-resident index arrays for repeated single-dispatch
+    flat evals of ONE dataset (training-epoch evals, benchmarks): the flat
+    token/slot index grids are built and uploaded once, so each ``score`` call
+    is exactly one dispatch plus one score fetch. The compiled program's shapes
+    depend on the dataset's chunk counts — reuse across epochs hits the same
+    program."""
+
+    def __init__(
+        self,
+        hist_rev: np.ndarray,
+        hist_lens: np.ndarray,
+        cand_rev: np.ndarray,
+        cand_row: np.ndarray,
+        chunk_tokens: int = DEFAULT_FLAT_CHUNK,
+        cand_chunk: int = 1 << 18,
+        max_len: Optional[int] = None,
+    ):
+        hist_lens = np.asarray(hist_lens)
+        num_rows = len(hist_lens)
+        idx = np.ascontiguousarray(np.asarray(hist_rev, dtype=np.int32))
+        if max_len is not None and num_rows and (hist_lens > max_len).any():
+            offsets = lengths_to_offsets(hist_lens)
+            keep = np.minimum(hist_lens, max_len).astype(np.int64)
+            starts = offsets[1:] - keep  # end-aligned: most recent clicks
+            keep_off = lengths_to_offsets(keep)
+            sel = np.repeat(starts, keep) + (
+                np.arange(keep_off[-1]) - np.repeat(keep_off[:-1], keep)
+            )
+            idx = idx[sel]
+            lens_used = keep
+        else:
+            lens_used = hist_lens
+        rows = np.repeat(np.arange(num_rows, dtype=np.int32), lens_used)
+        self.num_slots = len(cand_rev)
+        self.idx2d = jnp.asarray(_pad_to_grid(idx, chunk_tokens, 0))
+        self.rows2d = jnp.asarray(_pad_to_grid(rows, chunk_tokens, num_rows))
+        self.lens = jnp.asarray(np.asarray(lens_used, dtype=np.float32))
+        self.cand_rev2d = jnp.asarray(
+            _pad_to_grid(np.asarray(cand_rev, np.int32), cand_chunk, 0)
+        )
+        self.cand_row2d = jnp.asarray(
+            _pad_to_grid(np.asarray(cand_row, np.int32), cand_chunk, 0)
+        )
+
+    def score(
+        self,
+        tower_apply: Callable,
+        params,
+        news_emb: jnp.ndarray,
+        query_news_emb: Optional[jnp.ndarray] = None,
+        normalize: bool = True,
+    ) -> np.ndarray:
+        table_for_history = (
+            query_news_emb if query_news_emb is not None else news_emb
+        )
+        probe = _probe_out(tower_apply, params, table_for_history)
+        scores = _flat_single_program(
+            params,
+            news_emb,
+            table_for_history,
+            self.idx2d,
+            self.rows2d,
+            self.lens,
+            self.cand_rev2d,
+            self.cand_row2d,
+            tower_apply=tower_apply,
+            normalize=normalize,
+            out_dim=int(probe.shape[-1]),
+        )
+        return np.asarray(scores)[: self.num_slots]
+
+
+def score_all_impressions_flat(
+    tower_apply: Callable,
+    params,
+    news_emb: jnp.ndarray,
+    hist_rev: np.ndarray,
+    hist_lens: np.ndarray,
+    cand_rev: np.ndarray,
+    cand_row: np.ndarray,
+    query_news_emb: Optional[jnp.ndarray] = None,
+    chunk_tokens: int = DEFAULT_FLAT_CHUNK,
+    cand_chunk: int = 1 << 18,
+    max_len: Optional[int] = None,
+    normalize: bool = True,
+) -> np.ndarray:
+    """One-shot single-dispatch flat eval scoring (see ``_flat_single_program``
+    and ``FlatEvalPlan``); use a ``FlatEvalPlan`` directly to amortize the
+    index-grid upload over repeated evals of the same dataset."""
+    plan = FlatEvalPlan(
+        hist_rev,
+        hist_lens,
+        cand_rev,
+        cand_row,
+        chunk_tokens=chunk_tokens,
+        cand_chunk=cand_chunk,
+        max_len=max_len,
+    )
+    return plan.score(
+        tower_apply,
+        params,
+        news_emb,
+        query_news_emb=query_news_emb,
+        normalize=normalize,
+    )
 
 
 @functools.partial(
@@ -331,6 +666,10 @@ def score_all_impressions(
     tokens_per_batch: Optional[int] = None,
     buckets: tuple[int, ...] = HISTORY_BUCKETS,
     single_program: bool = False,
+    flat_tokens: bool = False,
+    flat_normalize: bool = True,
+    flat_max_len: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
 ) -> np.ndarray:
     """Full eval scoring pipeline (reference ``get_cos_sim_scores``,
     ``data_model_helper.py:174-239``): tower over histories, cosine vs candidates.
@@ -346,10 +685,38 @@ def score_all_impressions(
     ~25% SLOWER than the default per-bucket dispatches (which pipeline
     transfers against compute) and compiles longer — kept as an option for
     dispatch-latency-bound deployments.
+
+    ``flat_tokens=True`` routes the tower pass through ``user_vectors_flat``
+    (zero padding, one program, token-local towers only — see
+    ``models.supports_flat_scoring``); ``flat_normalize`` must mirror the
+    tower's ``output_normalize`` and ``tokens_per_batch`` doubles as the flat
+    chunk size.
+
+    ``mesh`` runs both the tower pass and the cosine pass data-parallel over
+    the mesh's ``data`` axis (tables/params replicated).
     """
     assert len(hist_lens) == 0 or cand_row.max() < len(hist_lens)
+    assert not (mesh is not None and single_program), (
+        "single_program and mesh are mutually exclusive"
+    )
     table_for_history = query_news_emb if query_news_emb is not None else news_emb
     probe = _probe_out(tower_apply, params, table_for_history)
+    if flat_tokens:
+        user_vecs = user_vectors_flat(
+            tower_apply,
+            params,
+            table_for_history,
+            hist_rev,
+            hist_lens,
+            out_dim=int(probe.shape[-1]),
+            chunk_tokens=tokens_per_batch or DEFAULT_FLAT_CHUNK,
+            max_len=flat_max_len,
+            normalize=flat_normalize,
+            mesh=mesh,
+        )
+        return cosine_scores_chunked(
+            user_vecs, news_emb, cand_rev, cand_row, mesh=mesh
+        )
     if single_program:
         plan = _bucket_plan(hist_lens, buckets, batch_size, tokens_per_batch)
         plan_shapes = tuple((bl, b) for bl, b, *_ in plan)
@@ -383,5 +750,8 @@ def score_all_impressions(
         buckets=buckets,
         tokens_per_batch=tokens_per_batch,
         out_dtype=jnp.float32,
+        mesh=mesh,
     )
-    return cosine_scores_chunked(user_vecs, news_emb, cand_rev, cand_row)
+    return cosine_scores_chunked(
+        user_vecs, news_emb, cand_rev, cand_row, mesh=mesh
+    )

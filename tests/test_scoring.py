@@ -142,6 +142,87 @@ def test_alpha_blend(rng):
     np.testing.assert_allclose(none.scores[slots], base[c.imp_rev[slots]])
 
 
+def _small_latent_tower():
+    from news_recommendation_project_v2_tpu.config import TowerConfig
+    from news_recommendation_project_v2_tpu.models import (
+        build_tower,
+        supports_flat_scoring,
+    )
+
+    config = TowerConfig(
+        kind="latent", reduced_dim=D, embedding_dim=D, num_latents=4,
+        num_heads=2, latent_dim_head=8,
+    )
+    assert supports_flat_scoring(config)
+    tower = build_tower(config)
+    params = tower.init(jax.random.key(0), jnp.zeros((1, 5, D)), jnp.ones((1, 5)))
+    return tower.apply, params
+
+
+def test_user_vectors_flat_match_bucketed(rng):
+    """The flat zero-padding path must reproduce the padded bucketed path
+    exactly (same per-token math, different batching)."""
+    from news_recommendation_project_v2_tpu.ops import user_vectors_flat
+
+    c, emb = make_data(rng)
+    apply_fn, params = _small_latent_tower()
+    bucketed = user_vectors_bucketed(
+        apply_fn, params, emb, c.hist_rev, c.hist_lens, batch_size=4
+    )
+    # chunk_tokens=16 forces rows to straddle chunk boundaries.
+    flat = np.asarray(
+        user_vectors_flat(
+            apply_fn, params, emb, c.hist_rev, c.hist_lens,
+            out_dim=D, chunk_tokens=16,
+        )
+    )
+    np.testing.assert_allclose(flat, bucketed, atol=2e-5)
+
+
+def test_user_vectors_flat_max_len_end_aligned(rng):
+    """max_len keeps the most RECENT clicks, matching the bucketed cap."""
+    from news_recommendation_project_v2_tpu.ops import user_vectors_flat
+
+    c, emb = make_data(rng)
+    apply_fn, params = _small_latent_tower()
+    cap = 8
+    bucketed = user_vectors_bucketed(
+        apply_fn, params, emb, c.hist_rev, c.hist_lens,
+        batch_size=4, buckets=(cap,),
+    )
+    flat = np.asarray(
+        user_vectors_flat(
+            apply_fn, params, emb, c.hist_rev, c.hist_lens,
+            out_dim=D, chunk_tokens=32, max_len=cap,
+        )
+    )
+    np.testing.assert_allclose(flat, bucketed, atol=2e-5)
+
+
+def test_score_all_impressions_flat_matches_bucketed(rng):
+    c, emb = make_data(rng)
+    apply_fn, params = _small_latent_tower()
+    slots, cand_rows = history_candidate_slots(c)
+    args = (apply_fn, params, emb, c.hist_rev, c.hist_lens, c.imp_rev[slots], cand_rows)
+    bucketed = score_all_impressions(*args, batch_size=8)
+    flat = score_all_impressions(*args, flat_tokens=True, tokens_per_batch=64)
+    np.testing.assert_allclose(flat, bucketed, atol=2e-5)
+
+
+def test_score_all_impressions_flat_single_program(rng):
+    from news_recommendation_project_v2_tpu.ops.scoring import (
+        score_all_impressions_flat,
+    )
+
+    c, emb = make_data(rng)
+    apply_fn, params = _small_latent_tower()
+    slots, cand_rows = history_candidate_slots(c)
+    args = (apply_fn, params, emb, c.hist_rev, c.hist_lens, c.imp_rev[slots], cand_rows)
+    bucketed = score_all_impressions(*args, batch_size=8)
+    fused = score_all_impressions_flat(*args, chunk_tokens=32, cand_chunk=16)
+    np.testing.assert_allclose(fused, bucketed, atol=2e-5)
+
+
 def test_query_passage_asymmetry(rng):
     c, emb = make_data(rng)
     query_emb = jnp.asarray(synthetic_news_embeddings(c.num_news, D, seed=7))
