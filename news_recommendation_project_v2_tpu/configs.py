@@ -207,49 +207,47 @@ def run_config2(
 def run_config3(
     compiled: CompiledBehaviors,
     news_embeddings: np.ndarray,
+    compiled_val: Optional[CompiledBehaviors] = None,
+    news_embeddings_val: Optional[np.ndarray] = None,
     mesh_cfg: Optional[MeshConfig] = None,
     train_cfg: Optional[TrainConfig] = None,
-    num_steps: int = 4,
-) -> float:
-    """Config[3]: row-sharded news table + data-parallel tower training over a
-    device mesh; returns the final step loss (finite == the sharded path runs)."""
-    from .parallel import build_mesh, make_sharded_tower_train_step, shard_news_table
-    from .train.step import make_tower_train_step
-    from .train.trainer import TowerTrainer, make_optimizer
+    tower_cfg: Optional[TowerConfig] = None,
+) -> dict:
+    """Config[3]: the FULL config[1] scenario on a device mesh — row-sharded
+    news table, data-parallel sharded train steps, sharded eval scoring — for
+    ``train_cfg.num_epochs`` epochs with per-epoch MIND metrics; returns the
+    final epoch's val (or train) metrics. The metrics equal the single-device
+    run's (tests/test_sharding.py::test_mesh_trainer_full_run_matches_single_device)."""
+    from .parallel import build_mesh
+    from .train.trainer import TowerTrainer
 
-    train_cfg = train_cfg or TrainConfig(batch_size=32)
+    train_cfg = train_cfg or TrainConfig(num_epochs=2, batch_size=256)
     mesh = build_mesh(mesh_cfg or MeshConfig(model_size=2))
+    tower_cfg = tower_cfg or _sized_tower(news_embeddings.shape[1])
+    tower = build_tower(tower_cfg)
     dim = news_embeddings.shape[1]
-    view = compiled.with_history_view()
-    tower = build_tower(
-        TowerConfig(kind="latent", reduced_dim=dim, num_latents=min(16, dim), latent_dim_head=max(8, dim // 4))
-    )
     params = jax.jit(
         lambda: tower.init(
             jax.random.key(train_cfg.seed), jnp.zeros((1, 8, dim)), jnp.ones((1, 8))
         )
     )()
-    optimizer = make_optimizer(train_cfg)
-    opt_state = jax.jit(optimizer.init)(params)
-    step = make_sharded_tower_train_step(
-        make_tower_train_step(tower.apply, optimizer, train_cfg.margin), mesh
+    trainer = TowerTrainer(
+        tower.apply,
+        params,
+        compiled.with_history_view(),
+        jnp.asarray(news_embeddings),
+        compiled_val=compiled_val.with_history_view() if compiled_val else None,
+        news_emb_val=(
+            jnp.asarray(news_embeddings_val)
+            if news_embeddings_val is not None
+            else None
+        ),
+        cfg=train_cfg,
+        mesh=mesh,
     )
-    table = shard_news_table(mesh, jnp.asarray(news_embeddings))
-    # Reuse the single-chip trainer's host input pipeline for batches.
-    host = TowerTrainer(
-        tower.apply, params, view, jnp.asarray(news_embeddings), cfg=train_cfg
-    )
-    key = jax.random.key(0)
-    loss = float("nan")
-    for i, batch in enumerate(host._epoch_batches()):
-        if i >= num_steps:
-            break
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(
-            params, opt_state, table, table, *map(jnp.asarray, batch), sub
-        )
-        loss = float(loss)
-    return loss
+    history = trainer.train()
+    last = history[-1]
+    return last["val"] if last["val"] is not None else last["train"]
 
 
 def run_config4(
@@ -259,9 +257,14 @@ def run_config4(
     encoder_apply,
     encoder_params,
     mesh_cfg: Optional[MeshConfig] = None,
+    train_cfg: Optional[TrainConfig] = None,
+    tower_cfg: Optional[TowerConfig] = None,
 ) -> dict:
-    """Config[4]: the multi-host pipeline — data-parallel sharded encode over the
-    mesh -> embedding table -> mean-pool scoring + metrics on device."""
+    """Config[4]: the multi-host pipeline end to end — data-parallel sharded
+    encode over the mesh -> embedding table dump -> sharded latent-tower
+    training (config[3]) -> on-device impression ranking metrics. With
+    ``train_cfg=None`` the tower-training stage is skipped and the dumped
+    table is scored directly with the mean-pool ranker (config[0])."""
     from .parallel import build_mesh
     from .parallel.sharding import make_sharded_encode_fn
 
@@ -276,4 +279,14 @@ def run_config4(
     emb = np.asarray(
         encode(encoder_params, jnp.asarray(ids), jnp.asarray(mask))
     )[:n]
-    return run_config0(compiled, emb)
+    if train_cfg is None:
+        return run_config0(compiled, emb)
+    return run_config3(
+        compiled,
+        emb,
+        compiled_val=compiled,
+        news_embeddings_val=emb,
+        mesh_cfg=mesh_cfg,
+        train_cfg=train_cfg,
+        tower_cfg=tower_cfg,
+    )

@@ -61,16 +61,30 @@ cosine_scores_flat = functools.partial(jax.jit, static_argnames=("eps",))(
 )
 
 
+def _on_mesh(mesh: Mesh, tree):
+    """Replicate every leaf that is not already laid out on ``mesh``'s devices
+    (jit with explicit in_shardings does NOT reshard committed arrays, it
+    raises). Leaves already on the mesh — replicated or model-sharded — pass
+    through untouched."""
+    rep = NamedSharding(mesh, P())
+    mesh_devices = frozenset(mesh.devices.flat)
+    def place(x):
+        if isinstance(x, jax.Array) and frozenset(x.devices()) == mesh_devices:
+            return x
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, tree)
+
+
 @functools.lru_cache(maxsize=None)
 def _cosine_sharded(mesh: Mesh):
-    """Data-parallel cosine pass: candidate slots sharded over ``data``, user
-    vectors and table replicated (each shard's gathers are local)."""
-    rep = NamedSharding(mesh, P())
+    """Data-parallel cosine pass: candidate slots sharded over ``data``; user
+    vectors / table keep their existing mesh layout (None = unconstrained)."""
     dat = NamedSharding(mesh, P("data"))
     return jax.jit(
         _cosine_impl,
         static_argnames=("eps",),
-        in_shardings=(rep, rep, dat, dat),
+        in_shardings=(None, None, dat, dat),
         out_shardings=dat,
     )
 
@@ -90,7 +104,20 @@ def cosine_scores_chunked(
     ``data`` axis."""
     cosine_fn = cosine_scores_flat if mesh is None else _cosine_sharded(mesh)
     total = len(cand_rev)
-    if total <= chunk:
+    if mesh is not None:
+        user_vecs, news_emb = _on_mesh(mesh, (user_vecs, news_emb))
+        # Candidate slots must arrive uncommitted (host arrays) so the jit can
+        # place them per in_shardings; sharded axis sizes must divide evenly.
+        ndata = mesh.shape["data"]
+        pad = (-total) % ndata
+        cand_rev = np.pad(np.asarray(cand_rev), (0, pad))
+        cand_row = np.pad(np.asarray(cand_row), (0, pad))
+        chunk = -(-chunk // ndata) * ndata
+    if len(cand_rev) <= chunk:
+        if mesh is not None:  # uncommitted host arrays; jit places them
+            return np.asarray(
+                cosine_fn(user_vecs, news_emb, cand_rev, cand_row)
+            )[:total]
         return np.asarray(
             cosine_fn(
                 user_vecs, news_emb, jnp.asarray(cand_rev), jnp.asarray(cand_row)
@@ -103,7 +130,7 @@ def cosine_scores_chunked(
                 part = jnp.concatenate([part, jnp.zeros((pad,), part.dtype)])
             else:
                 part = np.pad(np.asarray(part), (0, pad))
-        return jnp.asarray(part)
+        return part if mesh is not None else jnp.asarray(part)
 
     outs = []
     for a in range(0, total, chunk):
@@ -171,14 +198,15 @@ _bucket_update = functools.partial(
 def _bucket_update_sharded(mesh: Mesh):
     """Mesh variant of ``_bucket_update``: the per-bucket row arrays shard over
     ``data`` (GSPMD propagates the layout through the scanned tower batches and
-    combines the scatter), accumulator/params/tables replicated."""
+    combines the scatter); accumulator replicated, params/tables keep their
+    existing mesh layout (callers run them through ``_on_mesh``)."""
     rep = NamedSharding(mesh, P())
     dat = NamedSharding(mesh, P("data"))
     return jax.jit(
         _bucket_update_impl,
         static_argnames=("tower_apply", "batch", "bucket_len"),
         donate_argnums=(0,),
-        in_shardings=(rep, rep, rep, rep, dat, dat, dat),
+        in_shardings=(rep, None, None, None, dat, dat, dat),
         out_shardings=rep,
     )
 
@@ -198,9 +226,11 @@ def _bucket_plan(
     buckets: tuple[int, ...],
     batch_size: int,
     tokens_per_batch: Optional[int],
+    align: int = 8,
 ):
     """Host-side plan: per bucket, the (rows, starts, lens, batch) arrays padded
-    to a whole number of batches."""
+    to a whole number of batches. ``align`` forces batch sizes to a multiple
+    (mesh callers pass lcm(8, data-axis) so sharded axes divide evenly)."""
     offsets = lengths_to_offsets(hist_lens)
     bucket_arr = np.asarray(buckets)
     bucket_ids = np.searchsorted(bucket_arr, np.minimum(hist_lens, bucket_arr[-1]))
@@ -210,9 +240,9 @@ def _bucket_plan(
         rows = np.flatnonzero(bucket_ids == bid).astype(np.int32)
         if tokens_per_batch is not None:
             batch = max(8, min(batch_size, tokens_per_batch // bucket_len))
-            batch = max(8, (batch // 8) * 8)
         else:
             batch = batch_size
+        batch = max(align, (batch // align) * align)
         n_pad = -(-len(rows) // batch) * batch
         pad = n_pad - len(rows)
         lens_capped = np.minimum(hist_lens[rows], bucket_len).astype(np.int64)
@@ -252,35 +282,44 @@ def user_vectors_device(
     relative to the tower program.
     """
     num_rows = len(hist_lens)
-    hist_rev_dev = jnp.asarray(hist_rev)
     user_vecs = jnp.zeros((num_rows, out_dim), dtype=out_dtype)
+    if mesh is None:
+        hist_rev_dev = jnp.asarray(hist_rev)
+        update_fn = _bucket_update
+        wrap = jnp.asarray
+    else:
+        params, news_emb, hist_rev_dev, user_vecs = _on_mesh(
+            mesh, (params, news_emb, np.asarray(hist_rev), user_vecs)
+        )
+        update_fn = _bucket_update_sharded(mesh)
+        wrap = lambda x: x  # uncommitted host arrays; jit places per sharding
     # Fixed chunk of batch*8 rows per call: program shapes depend only on
     # (bucket, batch) — never on the dataset's row count — keeping ONE compiled
     # program per bucket (remote compiles are the expensive resource here)
     # while chunks stay large enough to amortize dispatch.
     scan_steps = 8
-    update_fn = _bucket_update if mesh is None else _bucket_update_sharded(mesh)
+    align = 8 if mesh is None else int(np.lcm(8, mesh.shape["data"]))
     for bucket_len, batch, starts, lens, rows in _bucket_plan(
-        hist_lens, buckets, batch_size, tokens_per_batch
+        hist_lens, buckets, batch_size, tokens_per_batch, align=align
     ):
         chunk = batch * scan_steps
         n = len(starts)
         for a in range(0, n, chunk):
             b = min(a + chunk, n)
             pad = chunk - (b - a)
+            # Statics passed positionally: pjit rejects kwargs when
+            # in_shardings is set (the mesh variant).
             user_vecs = update_fn(
                 user_vecs,
                 params,
                 news_emb,
                 hist_rev_dev,
-                jnp.asarray(np.pad(starts[a:b], (0, pad))),
-                jnp.asarray(np.pad(lens[a:b], (0, pad))),
-                jnp.asarray(
-                    np.pad(rows[a:b], (0, pad), constant_values=num_rows)
-                ),
-                tower_apply=tower_apply,
-                batch=batch,
-                bucket_len=bucket_len,
+                wrap(np.pad(starts[a:b], (0, pad))),
+                wrap(np.pad(lens[a:b], (0, pad))),
+                wrap(np.pad(rows[a:b], (0, pad), constant_values=num_rows)),
+                tower_apply,
+                batch,
+                bucket_len,
             )
     return user_vecs
 
@@ -351,14 +390,15 @@ def _flat_chunk_update_sharded(mesh: Mesh):
     """Mesh variant of ``_flat_chunk_update``: token chunks shard over ``data``
     (each device runs the per-token tower on its slice), the accumulator stays
     replicated — XLA inserts the cross-device combine for the segment-add.
-    Rows straddling a shard boundary are handled by the add semantics."""
+    Rows straddling a shard boundary are handled by the add semantics. Params/
+    table keep their existing mesh layout (callers use ``_on_mesh``)."""
     rep = NamedSharding(mesh, P())
     dat = NamedSharding(mesh, P("data"))
     return jax.jit(
         _flat_chunk_update_impl,
         static_argnames=("tower_apply",),
         donate_argnums=(0,),
-        in_shardings=(rep, rep, rep, dat, dat),
+        in_shardings=(rep, None, None, dat, dat),
         out_shardings=rep,
     )
 
@@ -415,23 +455,33 @@ def user_vectors_flat(
     else:
         lens_used = hist_lens
     rows = np.repeat(np.arange(num_rows, dtype=np.int32), lens_used)
+    if mesh is not None:  # sharded axis sizes must divide evenly
+        ndata = mesh.shape["data"]
+        chunk_tokens = -(-chunk_tokens // ndata) * ndata
     total = len(idx)
     n_chunks = max(1, -(-total // chunk_tokens))
     pad = n_chunks * chunk_tokens - total
     idx = np.pad(idx, (0, pad))
     rows = np.pad(rows, (0, pad), constant_values=num_rows)  # OOB -> dropped
-    update_fn = (
-        _flat_chunk_update if mesh is None else _flat_chunk_update_sharded(mesh)
-    )
     user_vecs = jnp.zeros((num_rows, out_dim), dtype=out_dtype)
+    if mesh is None:
+        update_fn = _flat_chunk_update
+        wrap = jnp.asarray
+    else:
+        params, news_emb, user_vecs = _on_mesh(
+            mesh, (params, news_emb, user_vecs)
+        )
+        update_fn = _flat_chunk_update_sharded(mesh)
+        wrap = lambda x: x  # uncommitted host arrays; jit places per sharding
     for a in range(0, len(idx), chunk_tokens):
+        # tower_apply positional: pjit rejects kwargs under in_shardings.
         user_vecs = update_fn(
             user_vecs,
             params,
             news_emb,
-            jnp.asarray(idx[a : a + chunk_tokens]),
-            jnp.asarray(rows[a : a + chunk_tokens]),
-            tower_apply=tower_apply,
+            wrap(idx[a : a + chunk_tokens]),
+            wrap(rows[a : a + chunk_tokens]),
+            tower_apply,
         )
     lens_f = jnp.asarray(np.asarray(lens_used, dtype=np.float32))
     return _flat_finalize(user_vecs, lens_f, normalize=normalize)

@@ -80,6 +80,29 @@ def make_sharded_tower_train_step(
     )
 
 
+def make_sharded_joint_train_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    donate: bool = True,
+) -> Callable:
+    """``make_sharded_tower_train_step`` for the joint (blend/reduce) step
+    signature (see ``make_joint_train_step``), which adds two per-pair
+    classification-baseline columns (sharded over ``data``) before the key."""
+    rep = replicated(mesh)
+    tab = table_sharding(mesh)
+    dat = batch_sharding(mesh)
+    dat2 = NamedSharding(mesh, P("data", None))
+    in_shardings = (
+        rep, rep, tab, tab, dat2, dat2, dat, dat, dat, dat, dat, dat, rep,
+    )
+    return jax.jit(
+        step_fn,
+        in_shardings=in_shardings,
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
 def make_sequence_sharded_tower_fn(mesh: Mesh, tower_apply: Callable) -> Callable:
     """Sequence-parallel tower forward: the history axis of [B, L, D] inputs is
     sharded over the ``model`` axis (batch over ``data``), so very long clicked

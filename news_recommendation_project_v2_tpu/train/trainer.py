@@ -127,6 +127,8 @@ class TowerTrainer:
         ckpt_dir: Optional[Path] = None,
         exp_name: str = "",
         buckets: tuple[int, ...] = HISTORY_BUCKETS,
+        mesh=None,  # jax.sharding.Mesh: run train steps + eval data-parallel
+        flat_eval: bool = False,  # token-local towers only (supports_flat_scoring)
     ):
         assert len(compiled_train.hist_lens) == compiled_train.num_rows, (
             "TowerTrainer needs a with-history view (every row must have history)"
@@ -162,19 +164,49 @@ class TowerTrainer:
         # across evaluate() calls.
         self._eval_apply = lambda p, e, m: tower_apply(p, e, m)
 
+        self.mesh = mesh
+        self.flat_eval = flat_eval
+        if mesh is not None:
+            assert cfg.batch_size % mesh.shape["data"] == 0, (
+                f"batch_size {cfg.batch_size} must divide over the data axis "
+                f"({mesh.shape['data']})"
+            )
+            self._place_tables(mesh)
         if cfg.loss == "infonce":
             from .step import make_tower_infonce_step
 
-            self._train_step = jax.jit(
-                make_tower_infonce_step(
-                    tower_apply, self.optimizer, cfg.num_neg_per_pos
-                ),
-                donate_argnums=(0, 1),
+            raw_step = make_tower_infonce_step(
+                tower_apply, self.optimizer, cfg.num_neg_per_pos
             )
         else:
-            self._train_step = jax.jit(
-                make_tower_train_step(tower_apply, self.optimizer, cfg.margin),
-                donate_argnums=(0, 1),
+            raw_step = make_tower_train_step(tower_apply, self.optimizer, cfg.margin)
+        if mesh is not None:
+            from ..parallel.sharding import make_sharded_tower_train_step
+
+            self._train_step = make_sharded_tower_train_step(raw_step, mesh)
+        else:
+            self._train_step = jax.jit(raw_step, donate_argnums=(0, 1))
+
+    def _place_tables(self, mesh) -> None:
+        """Row-shard the news/query embedding tables over the mesh's model axis
+        once at construction (the sharded step re-uses the placement every
+        step; eval programs re-shard to replicated on the fly)."""
+        from ..parallel.sharding import shard_news_table
+
+        same_train = self.query_train is self.news_emb_train
+        self.news_emb_train = shard_news_table(mesh, self.news_emb_train)
+        self.query_train = (
+            self.news_emb_train
+            if same_train
+            else shard_news_table(mesh, self.query_train)
+        )
+        if self.news_emb_val is not None:
+            same_val = self.query_val is self.news_emb_val
+            self.news_emb_val = shard_news_table(mesh, self.news_emb_val)
+            self.query_val = (
+                self.news_emb_val
+                if same_val
+                else shard_news_table(mesh, self.query_val)
             )
 
     # ------------------------------------------------------------------
@@ -293,6 +325,8 @@ class TowerTrainer:
             cand_rows,
             query_news_emb=query_emb,
             batch_size=self.cfg.batch_size,
+            mesh=self.mesh,
+            flat_tokens=self.flat_eval,
         )
         return compose_final_scores(compiled, history_scores=scores).metrics
 
@@ -472,16 +506,19 @@ class JointTowerTrainer(TowerTrainer):
         )
         from .step import make_joint_train_step
 
-        self._train_step = jax.jit(
-            make_joint_train_step(
-                tower_apply,
-                self.optimizer,
-                self.cfg.margin,
-                reduce_apply=reduce_apply,
-                blend_apply=blend_apply,
-            ),
-            donate_argnums=(0, 1),
+        raw_step = make_joint_train_step(
+            tower_apply,
+            self.optimizer,
+            self.cfg.margin,
+            reduce_apply=reduce_apply,
+            blend_apply=blend_apply,
         )
+        if self.mesh is not None:
+            from ..parallel.sharding import make_sharded_joint_train_step
+
+            self._train_step = make_sharded_joint_train_step(raw_step, self.mesh)
+        else:
+            self._train_step = jax.jit(raw_step, donate_argnums=(0, 1))
         self._eval_apply = lambda p, e, m: tower_apply(p["tower"], e, m)
         if reduce_apply is not None:
             self._reduce_table = jax.jit(lambda p, t: reduce_apply(p, t))
@@ -537,6 +574,8 @@ class JointTowerTrainer(TowerTrainer):
             cand_rows,
             query_news_emb=query_emb,
             batch_size=self.cfg.batch_size,
+            mesh=self.mesh,
+            flat_tokens=self.flat_eval,
         )
         return compose_final_scores(
             compiled,

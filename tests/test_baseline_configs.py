@@ -77,23 +77,29 @@ def test_config2_end_to_end_runs(rng):
     assert 0 <= m["auc"] <= 1
 
 
-def test_config3_sharded_training_runs():
-    from news_recommendation_project_v2_tpu.config import MeshConfig
+def test_config3_sharded_training_full_run():
+    """Config[3] is the FULL scenario on the mesh: epochs of sharded steps +
+    sharded eval with MIND metrics, not a smoke-depth step count."""
+    from news_recommendation_project_v2_tpu.config import MeshConfig, TowerConfig
     from news_recommendation_project_v2_tpu.configs import run_config3
 
     imps, hist, emb = synthetic_learnable_behaviors(
-        num_news=64, num_rows=60, dim=16, noise=0.05
+        num_news=120, num_rows=140, dim=32, noise=0.05
     )
     c = compile_behaviors(imps, hist)
     emb_a = align_embeddings(c.news_ids, emb)
-    loss = run_config3(
+    metrics = run_config3(
         c,
         emb_a,
+        compiled_val=c,
+        news_embeddings_val=emb_a,
         mesh_cfg=MeshConfig(data_size=4, model_size=2),
-        train_cfg=TrainConfig(batch_size=16),
-        num_steps=2,
+        train_cfg=TrainConfig(learning_rate=3e-4, num_epochs=2, batch_size=64, seed=0),
+        tower_cfg=TowerConfig(
+            kind="latent", reduced_dim=32, num_latents=4, latent_dim_head=8
+        ),
     )
-    assert np.isfinite(loss)
+    assert metrics["auc"] > 0.55, metrics
 
 
 def test_config4_multihost_pipeline_runs():
@@ -133,3 +139,20 @@ def test_config4_multihost_pipeline_runs():
         mesh_cfg=MeshConfig(data_size=4, model_size=2),
     )
     assert 0 <= m["auc"] <= 1
+    # With a train_cfg, the dumped table feeds the full sharded tower
+    # training + eval stage (config[3]).
+    from news_recommendation_project_v2_tpu.config import TowerConfig
+
+    m2 = run_config4(
+        c,
+        ids,
+        mask,
+        lambda p, i, mk: enc.apply(p, i, mk),
+        params,
+        mesh_cfg=MeshConfig(data_size=4, model_size=2),
+        train_cfg=TrainConfig(learning_rate=3e-4, num_epochs=1, batch_size=32, seed=0),
+        tower_cfg=TowerConfig(
+            kind="latent", reduced_dim=16, num_latents=4, latent_dim_head=8
+        ),
+    )
+    assert 0 <= m2["auc"] <= 1

@@ -196,6 +196,123 @@ def test_encoder_tp_sharding_matches(mesh, rng):
     np.testing.assert_allclose(np.asarray(plain), np.asarray(tp_out), atol=1e-5)
 
 
+def _learnable_trainer(mesh=None, flat_eval=False, loss="margin"):
+    from news_recommendation_project_v2_tpu.data import compile_behaviors
+    from news_recommendation_project_v2_tpu.data.synthetic import (
+        align_embeddings,
+        synthetic_learnable_behaviors,
+    )
+    from news_recommendation_project_v2_tpu.train.trainer import TowerTrainer
+
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=120, num_rows=150, dim=D, noise=0.05
+    )
+    c = compile_behaviors(imps, hist).with_history_view()
+    emb_j = jnp.asarray(align_embeddings(c.news_ids, emb))
+    tower = build_tower(
+        TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
+    )
+    params = jax.jit(
+        lambda: tower.init(jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+    )()
+    return TowerTrainer(
+        tower.apply,
+        params,
+        c,
+        emb_j,
+        compiled_val=c,
+        news_emb_val=emb_j,
+        cfg=TrainConfig(
+            learning_rate=3e-4, num_epochs=2, batch_size=64, seed=0, loss=loss
+        ),
+        mesh=mesh,
+        flat_eval=flat_eval,
+    )
+
+
+def test_mesh_trainer_full_run_matches_single_device(mesh):
+    """VERDICT #5 'done' criterion: a FULL sharded training run (epochs of
+    sharded steps + sharded eval scoring) reproduces the single-device run's
+    metrics. Same seeds -> same host sampling; the jitted math must agree."""
+    single = _learnable_trainer()
+    hist_single = single.train()
+    sharded = _learnable_trainer(mesh=mesh)
+    hist_sharded = sharded.train()
+    for rec_s, rec_m in zip(hist_single, hist_sharded):
+        assert rec_s["loss"] == pytest.approx(rec_m["loss"], rel=1e-4)
+        for split in ("train", "val"):
+            for k, v in rec_s[split].items():
+                assert rec_m[split][k] == pytest.approx(v, abs=1e-6), (
+                    f"epoch {rec_s['epoch']} {split}/{k}"
+                )
+    # The run must actually learn (not just agree on garbage).
+    assert hist_sharded[-1]["val"]["auc"] > 0.55
+
+
+def test_mesh_trainer_flat_eval_matches(mesh):
+    """Sharded flat-token eval (zero-padding path over the mesh) agrees with
+    the sharded bucketed eval on the same trained params."""
+    t = _learnable_trainer(mesh=mesh)
+    bucketed_train, bucketed_val = t.evaluate()
+    t.flat_eval = True
+    flat_train, flat_val = t.evaluate()
+    for k, v in bucketed_val.items():
+        assert flat_val[k] == pytest.approx(v, abs=1e-6)
+    for k, v in bucketed_train.items():
+        assert flat_train[k] == pytest.approx(v, abs=1e-6)
+
+
+def test_mesh_joint_trainer_matches_single_device(mesh):
+    from news_recommendation_project_v2_tpu.data import compile_behaviors
+    from news_recommendation_project_v2_tpu.data.synthetic import (
+        align_embeddings,
+        synthetic_learnable_behaviors,
+    )
+    from news_recommendation_project_v2_tpu.models import WeightedSumModel
+    from news_recommendation_project_v2_tpu.train.trainer import JointTowerTrainer
+
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=100, num_rows=120, dim=D, noise=0.05
+    )
+    c = compile_behaviors(imps, hist).with_history_view()
+    emb_j = jnp.asarray(align_embeddings(c.news_ids, emb))
+    baseline = np.random.default_rng(0).random(c.num_news).astype(np.float32)
+
+    def make(mesh):
+        tower = build_tower(
+            TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
+        )
+        tower_params = jax.jit(
+            lambda: tower.init(
+                jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
+            )
+        )()
+        blend = WeightedSumModel()
+        blend_params = jax.jit(
+            lambda: blend.init(jax.random.key(1), jnp.zeros(2), jnp.zeros(2))
+        )()
+        return JointTowerTrainer(
+            tower.apply,
+            tower_params,
+            c,
+            emb_j,
+            blend_apply=blend.apply,
+            blend_params=blend_params,
+            baseline_train=baseline,
+            baseline_val=baseline,
+            compiled_val=c,
+            news_emb_val=emb_j,
+            cfg=TrainConfig(learning_rate=3e-4, num_epochs=1, batch_size=40, seed=0),
+            mesh=mesh,
+        )
+
+    h_single = make(None).train()
+    h_mesh = make(mesh).train()
+    assert h_single[-1]["loss"] == pytest.approx(h_mesh[-1]["loss"], rel=1e-4)
+    for k, v in h_single[-1]["val"].items():
+        assert h_mesh[-1]["val"][k] == pytest.approx(v, abs=1e-6)
+
+
 def test_sequence_sharded_tower_matches(mesh, rng):
     from news_recommendation_project_v2_tpu.parallel import (
         make_sequence_sharded_tower_fn,
