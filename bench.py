@@ -72,9 +72,11 @@ def bench_ours(hist_lens, hist_rev, cand_rev, cand_row):
     from news_recommendation_project_v2_tpu.config import TowerConfig
     from news_recommendation_project_v2_tpu.models import build_tower
     from news_recommendation_project_v2_tpu.ops.scoring import FlatEvalPlan
+    from news_recommendation_project_v2_tpu.utils.memory import estimate_flat_chunk
 
     log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
-    tower = build_tower(TowerConfig(kind="latent"))
+    tower_cfg = TowerConfig(kind="latent", compute_dtype="bfloat16")
+    tower = build_tower(tower_cfg)
     params = jax.jit(
         lambda: tower.init(
             jax.random.key(0), jnp.zeros((1, 16, DIM)), jnp.ones((1, 16))
@@ -97,8 +99,11 @@ def bench_ours(hist_lens, hist_rev, cand_rev, cand_row):
 
     # Index grids are constant per eval dataset — build + upload once, like
     # production epoch evals (plan reuse hits the same compiled program).
+    # Chunk size from the analytic memory model, not a hand-tuned constant.
+    chunk_tokens = estimate_flat_chunk(tower_cfg)
+    log(f"flat chunk from memory model: {chunk_tokens} tokens")
     plan = FlatEvalPlan(
-        hist_rev, hist_lens, cand_rev, cand_row, chunk_tokens=131072
+        hist_rev, hist_lens, cand_rev, cand_row, chunk_tokens=chunk_tokens
     )
 
     def run():

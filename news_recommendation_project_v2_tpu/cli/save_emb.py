@@ -27,7 +27,12 @@ def main(argv=None):
     parser.add_argument("news_dataset", choices=NewsDataset._member_names_)
     parser.add_argument("--save-dir", type=Path, default=Path("embeddings"))
     parser.add_argument("--hf-checkpoint", type=Path, default=None)
-    parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument(
+        "--batch-size",
+        type=int,
+        default=0,
+        help="0 (default) sizes the encode batch from the analytic memory model",
+    )
     parser.add_argument("--max-length", type=int, default=128)
     parser.add_argument(
         "--tiny-encoder",
@@ -62,7 +67,8 @@ def main(argv=None):
                     params,
                     lambda texts: tok(texts, max_length=args.max_length),
                     QUERY_INSTRUCTION,
-                    args.batch_size,
+                    args.batch_size or None,  # 0 -> analytic auto-sizing
+                    encoder_config=enc.config,
                 ),
             ),
             ("save", SaveEmbeddingComponent(args.save_dir, dataset.value)),

@@ -53,10 +53,21 @@ def encode_corpus(
     params,
     token_ids: np.ndarray,  # [N, T]
     token_mask: np.ndarray,  # [N, T]
-    batch_size: int = 256,
+    batch_size: Optional[int] = 256,
+    encoder_config=None,  # EncoderConfig: enables batch_size=None auto-sizing
 ) -> jax.Array:
     """Encode a tokenized corpus into a device-resident [N, D] embedding table
-    (one compiled program; rows padded to a whole number of batches)."""
+    (one compiled program; rows padded to a whole number of batches).
+    ``batch_size=None`` + ``encoder_config`` sizes the batch analytically
+    (reference ``get_text_inference_batch_size``)."""
+    if batch_size is None:
+        from ..utils.memory import estimate_encoder_batch
+
+        assert encoder_config is not None, "batch_size=None needs encoder_config"
+        batch_size = min(
+            1024,
+            estimate_encoder_batch(encoder_config, length=token_ids.shape[1]),
+        )
     n = token_ids.shape[0]
     n_pad = -(-n // batch_size) * batch_size
     ids = np.pad(token_ids, ((0, n_pad - n), (0, 0)))
@@ -74,14 +85,19 @@ def encode_query_and_passage(
     tokenize: Callable[[list[str]], tuple[np.ndarray, np.ndarray]],
     texts: list[str],
     query_instruction: str,
-    batch_size: int = 256,
+    batch_size: Optional[int] = 256,
+    encoder_config=None,
 ) -> tuple[jax.Array, jax.Array]:
     """The e5 dual encode (reference ``data_model_helper.py:59-80``): passage
     embeddings from raw text, query embeddings from instruction-prefixed text."""
     ids, mask = tokenize(texts)
-    passage = encode_corpus(encoder_apply, params, ids, mask, batch_size)
+    passage = encode_corpus(
+        encoder_apply, params, ids, mask, batch_size, encoder_config
+    )
     q_ids, q_mask = tokenize([query_instruction + t for t in texts])
-    query = encode_corpus(encoder_apply, params, q_ids, q_mask, batch_size)
+    query = encode_corpus(
+        encoder_apply, params, q_ids, q_mask, batch_size, encoder_config
+    )
     return query, passage
 
 
@@ -234,15 +250,26 @@ def materialize_from_token_store(
     token_encoder_apply: Callable,  # (params, [B,T,D], [B,T]) -> [B,D]
     params,
     store: "TokenStore",
-    batch_size: int = 64,
+    batch_size: Optional[int] = 64,
     max_token_len: int = 512,
     token_buckets: tuple[int, ...] = (64, 128, 256, 512),
 ) -> np.ndarray:
     """Run a (learned) token encoder over the whole store -> [N, D] news
     embedding matrix (reference ``apply_token_attn`` + ``store_embeddings``,
-    ``data_model_helper.py:374-413``)."""
+    ``data_model_helper.py:374-413``). ``batch_size=None`` sizes the batch from
+    the analytic memory model (reference
+    ``get_token_attention_inference_batch_size``)."""
     from ..config import bucket_for_open
 
+    if batch_size is None:
+        from ..utils.memory import estimate_token_attention_batch
+
+        batch_size = min(
+            1024,
+            estimate_token_attention_batch(
+                dim=int(store.states.shape[1]), token_len=max_token_len
+            ),
+        )
     n = store.num_items
     out = []
     apply = jax.jit(lambda p, s, m: token_encoder_apply(p, s, m))

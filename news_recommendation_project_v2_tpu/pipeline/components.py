@@ -85,13 +85,15 @@ class EmbeddingsComponent(PipelineComponent):
         encoder_params,
         tokenize: Callable,
         query_instruction: str,
-        batch_size: int = 256,
+        batch_size: Optional[int] = 256,
+        encoder_config=None,  # enables batch_size=None analytic auto-sizing
     ):
         self.encoder_apply = encoder_apply
         self.encoder_params = encoder_params
         self.tokenize = tokenize
         self.query_instruction = query_instruction
         self.batch_size = batch_size
+        self.encoder_config = encoder_config
 
     def transform(self, context):
         from ..ops.encode import encode_query_and_passage
@@ -105,6 +107,7 @@ class EmbeddingsComponent(PipelineComponent):
             texts,
             self.query_instruction,
             self.batch_size,
+            self.encoder_config,
         )
         context["news_embeddings"] = np.asarray(passage)
         context["query_news_embeddings"] = np.asarray(query)
