@@ -25,6 +25,38 @@ def lengths_to_segment_ids(lengths: np.ndarray) -> np.ndarray:
     return np.repeat(np.arange(len(lengths), dtype=np.int32), lengths)
 
 
+def gather_end_aligned(
+    flat: np.ndarray,
+    ends: np.ndarray,
+    lens: np.ndarray,
+    width: int,
+    out_rows: Optional[int] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pack end-aligned windows of a flat ragged array into a padded block.
+
+    Row ``j`` holds ``flat[ends[j]-min(lens[j],width) : ends[j]]``
+    left-justified and zero-padded to ``width`` — i.e. the most RECENT
+    ``width`` items of each segment — plus the float mask. This is the
+    vectorized replacement for the per-row Python fill in the trainers' host
+    batch assembly (one fancy-index instead of an O(rows*width) loop, which
+    mattered at MIND-large epoch sizes where the single prefetch producer
+    thread became the bottleneck). ``out_rows`` pads extra all-zero rows.
+    """
+    n = len(ends)
+    out_rows = n if out_rows is None else out_rows
+    idx = np.zeros((out_rows, width), np.int32)
+    mask = np.zeros((out_rows, width), np.float32)
+    if n:
+        lens = np.minimum(np.asarray(lens), width)
+        starts = np.asarray(ends) - lens
+        pos = np.arange(width)
+        valid = pos[None, :] < lens[:, None]
+        gp = np.minimum(starts[:, None] + pos[None, :], max(len(flat) - 1, 0))
+        idx[:n] = np.where(valid, np.asarray(flat)[gp], 0)
+        mask[:n] = valid
+    return idx, mask
+
+
 def expand_items(
     items: np.ndarray, rev_index: np.ndarray, counts: np.ndarray
 ) -> np.ndarray:

@@ -34,7 +34,7 @@ import optax
 
 from ..config import HISTORY_BUCKETS, TrainConfig, bucket_for, bucket_for_open
 from ..data.compiler import CompiledBehaviors
-from ..data.grouping import lengths_to_offsets
+from ..data.grouping import gather_end_aligned, lengths_to_offsets
 from ..data.sampling import batch_aligned_permutation, sample_pos_neg_pairs
 from ..eval.ranker import compose_final_scores, history_candidate_slots
 from ..ops.scoring import score_all_impressions
@@ -260,17 +260,16 @@ class TowerTrainer:
             )
             rows = pairs[-1, start:stop]
             uniq_rows, rev = np.unique(rows, return_inverse=True)
-            U = len(uniq_rows)
             max_len = int(self.ct.hist_lens[uniq_rows].max())
             L = bucket_for(max_len, self.buckets)
-            hist_idx = np.zeros((B, L), dtype=np.int32)
-            hist_mask = np.zeros((B, L), dtype=np.float32)
-            for j, row in enumerate(uniq_rows):
-                a, b = offsets[row], offsets[row + 1]
-                ln = min(int(b - a), L)
-                # Keep the most recent ln clicks when capping to the bucket.
-                hist_idx[j, :ln] = self.ct.hist_rev[b - ln : b]
-                hist_mask[j, :ln] = 1.0
+            # End-aligned gather (most recent clicks when capping), vectorized.
+            hist_idx, hist_mask = gather_end_aligned(
+                self.ct.hist_rev,
+                offsets[uniq_rows + 1],
+                self.ct.hist_lens[uniq_rows],
+                L,
+                out_rows=B,
+            )
             pad = B - (stop - start)
             neg_padded = (
                 np.pad(neg.astype(np.int32), ((0, pad), (0, 0)), constant_values=-1)
@@ -717,17 +716,17 @@ class EndToEndTrainer:
             )
             tok_mask[len(uniq_news):, 0] = 1.0  # keep pad rows non-degenerate
             # Split relative indices back out.
-            cuts = np.cumsum([len(h) for h in hist_slices])
-            rel = np.split(inv, [*cuts, cuts[-1] + len(pos)] if len(cuts) else [0, len(pos)])
-            hist_rel, pos_rel, neg_rel = rel[:-2], rel[-2], rel[-1]
-            max_hist = max((len(h) for h in hist_rel), default=1)
+            hist_lens_b = np.array([len(h) for h in hist_slices], dtype=np.int64)
+            cuts = np.cumsum(hist_lens_b)
+            total_hist = int(cuts[-1]) if len(cuts) else 0
+            pos_rel = inv[total_hist : total_hist + len(pos)]
+            neg_rel = inv[total_hist + len(pos) :]
+            max_hist = int(hist_lens_b.max()) if len(hist_lens_b) else 1
             L = bucket_for(max_hist, self.buckets)
-            hist_idx = np.zeros((B, L), np.int32)
-            hist_mask = np.zeros((B, L), np.float32)
-            for j, h in enumerate(hist_rel):
-                ln = min(len(h), L)
-                hist_idx[j, :ln] = h[len(h) - ln :]  # keep most recent clicks
-                hist_mask[j, :ln] = 1.0
+            # End-aligned gather (most recent clicks when capping), vectorized.
+            hist_idx, hist_mask = gather_end_aligned(
+                inv[:total_hist], cuts, hist_lens_b, L, out_rows=B
+            )
             pad = B - (stop - start)
             yield (
                 tok_states.astype(np.float32),

@@ -113,3 +113,36 @@ def test_batch_aligned_permutation(rng):
     np.testing.assert_array_equal(
         batch_aligned_permutation(rng, 4, 8), np.arange(4)
     )
+
+
+def test_gather_end_aligned_matches_loop(rng):
+    from news_recommendation_project_v2_tpu.data.grouping import (
+        gather_end_aligned,
+        lengths_to_offsets,
+    )
+
+    lens = rng.integers(1, 12, size=20)
+    flat = rng.integers(0, 100, size=int(lens.sum())).astype(np.int64)
+    offsets = lengths_to_offsets(lens)
+    W = 6
+    idx, mask = gather_end_aligned(flat, offsets[1:], lens, W, out_rows=24)
+    assert idx.shape == (24, W) and mask.shape == (24, W)
+    for j in range(20):
+        ln = min(int(lens[j]), W)
+        b = offsets[j + 1]
+        np.testing.assert_array_equal(idx[j, :ln], flat[b - ln : b])
+        assert (idx[j, ln:] == 0).all()
+        np.testing.assert_array_equal(
+            mask[j], (np.arange(W) < ln).astype(np.float32)
+        )
+    assert (idx[20:] == 0).all() and (mask[20:] == 0).all()
+
+
+def test_gather_end_aligned_empty():
+    from news_recommendation_project_v2_tpu.data.grouping import gather_end_aligned
+
+    idx, mask = gather_end_aligned(
+        np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64), 4,
+        out_rows=3,
+    )
+    assert idx.shape == (3, 4) and mask.sum() == 0
