@@ -487,11 +487,7 @@ def user_vectors_flat(
     return _flat_finalize(user_vecs, lens_f, normalize=normalize)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tower_apply", "normalize", "out_dim"),
-)
-def _flat_single_program(
+def _flat_eval_body(
     params,
     news_emb,  # [N, D] candidate table (f32)
     query_table,  # [N, D] table fed to the tower (may be the same array)
@@ -505,10 +501,12 @@ def _flat_single_program(
     out_dim: int,
 ):
     """The ENTIRE flat eval — per-token tower over every history-token chunk,
-    pooling epilogue, and the cosine pass — as one compiled program: a single
+    pooling epilogue, and the cosine pass — as one traced computation: a single
     host->device dispatch and a single score fetch per eval. On
     high-dispatch-latency links (tunneled TPUs) this removes ~1s of per-call
-    overhead vs the chunk-per-dispatch path; user vectors never leave HBM."""
+    overhead vs the chunk-per-dispatch path; user vectors never leave HBM.
+    (Also the per-device body of the zero-collective sharded flat eval,
+    ``parallel.flat_eval``.)"""
     num_rows = lens.shape[0]
 
     def chunk_body(acc, ir):
@@ -536,6 +534,12 @@ def _flat_single_program(
 
     _, scores = jax.lax.scan(cos_body, None, (cand_rev2d, cand_row2d))
     return scores.reshape(-1)
+
+
+_flat_single_program = functools.partial(
+    jax.jit,
+    static_argnames=("tower_apply", "normalize", "out_dim"),
+)(_flat_eval_body)
 
 
 def _pad_to_grid(arr: np.ndarray, chunk: int, fill) -> np.ndarray:

@@ -313,6 +313,82 @@ def test_mesh_joint_trainer_matches_single_device(mesh):
         assert h_mesh[-1]["val"][k] == pytest.approx(v, abs=1e-6)
 
 
+def test_sharded_flat_eval_matches_single_device(mesh, rng):
+    """Zero-collective sharded flat eval (shard_map, row-partitioned
+    accumulators) reproduces the single-device FlatEvalPlan scores."""
+    from news_recommendation_project_v2_tpu.data import compile_behaviors
+    from news_recommendation_project_v2_tpu.data.synthetic import (
+        align_embeddings,
+        synthetic_learnable_behaviors,
+    )
+    from news_recommendation_project_v2_tpu.eval.ranker import (
+        history_candidate_slots,
+    )
+    from news_recommendation_project_v2_tpu.ops.scoring import FlatEvalPlan
+    from news_recommendation_project_v2_tpu.parallel.flat_eval import (
+        ShardedFlatEvalPlan,
+        partition_rows_by_tokens,
+    )
+
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=100, num_rows=90, dim=D, noise=0.05
+    )
+    c = compile_behaviors(imps, hist).with_history_view()
+    emb_j = jnp.asarray(align_embeddings(c.news_ids, emb))
+    tower = build_tower(
+        TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
+    )
+    params = jax.jit(
+        lambda: tower.init(jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+    )()
+    slots, cand_rows = history_candidate_slots(c)
+    cand_rev = c.imp_rev[slots]
+
+    bounds = partition_rows_by_tokens(c.hist_lens, 8)
+    assert bounds[0] == 0 and bounds[-1] == c.num_rows
+    assert (np.diff(bounds) >= 0).all()
+
+    single = FlatEvalPlan(
+        c.hist_rev, c.hist_lens, cand_rev, cand_rows, chunk_tokens=64,
+        cand_chunk=32,
+    ).score(tower.apply, params, emb_j)
+    sharded = ShardedFlatEvalPlan(
+        mesh, c.hist_rev, c.hist_lens, cand_rev, cand_rows, chunk_tokens=32,
+        cand_chunk=16,
+    ).score(tower.apply, params, emb_j)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+def test_sharded_flat_eval_unsorted_slots(mesh, rng):
+    """Candidate slots in arbitrary order are re-sorted per owning row and the
+    original order restored on reassembly."""
+    from news_recommendation_project_v2_tpu.ops.scoring import FlatEvalPlan
+    from news_recommendation_project_v2_tpu.parallel.flat_eval import (
+        ShardedFlatEvalPlan,
+    )
+
+    R, C = 40, 200
+    hist_lens = rng.integers(1, 12, size=R)
+    hist_rev = rng.integers(0, N, size=int(hist_lens.sum())).astype(np.int32)
+    cand_rev = rng.integers(0, N, size=C).astype(np.int32)
+    cand_row = rng.integers(0, R, size=C).astype(np.int32)  # NOT sorted
+    table = jnp.asarray(rng.standard_normal((N, D)), dtype=jnp.float32)
+    tower = build_tower(
+        TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
+    )
+    params = jax.jit(
+        lambda: tower.init(jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+    )()
+    single = FlatEvalPlan(
+        hist_rev, hist_lens, cand_rev, cand_row, chunk_tokens=32, cand_chunk=16
+    ).score(tower.apply, params, table)
+    sharded = ShardedFlatEvalPlan(
+        mesh, hist_rev, hist_lens, cand_rev, cand_row, chunk_tokens=32,
+        cand_chunk=16,
+    ).score(tower.apply, params, table)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
 def test_sequence_sharded_tower_matches(mesh, rng):
     from news_recommendation_project_v2_tpu.parallel import (
         make_sequence_sharded_tower_fn,
