@@ -2,7 +2,7 @@
 bench.py): pairs/second through the jitted margin-ranking step with the
 full-size latent tower on the available accelerator.
 
-    python benchmarks/train_bench.py
+    python benchmarks/train_bench.py [bfloat16|float32]
 """
 
 from __future__ import annotations
@@ -27,8 +27,11 @@ B, L = 512, 64  # pairs per step, history bucket
 
 
 def main():
-    print(f"backend: {jax.default_backend()}", file=sys.stderr)
-    tower = build_tower(TowerConfig(kind="latent"))
+    compute = sys.argv[1] if len(sys.argv) > 1 else "float32"
+    print(f"backend: {jax.default_backend()}, compute={compute}", file=sys.stderr)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    tower = build_tower(TowerConfig(kind="latent", compute_dtype=compute))
     cfg = TrainConfig()
     params = jax.jit(
         lambda: tower.init(jax.random.key(0), jnp.zeros((1, L, DIM)), jnp.ones((1, L)))

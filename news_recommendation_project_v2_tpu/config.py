@@ -142,6 +142,12 @@ class TrainConfig:
     # without val-metric improvement. 0 disables.
     plateau_patience: int = 0
     plateau_factor: float = 0.1
+    # Fetch the step loss to host every N steps (bounding the async dispatch
+    # queue) instead of every step. On local-PCIe hosts 1 is free; on
+    # high-RTT tunneled devices the per-step sync dominates the step time
+    # (measured ~58ms device vs ~500ms synced on the build box) — raise to
+    # 8-32 there. Losses are still recorded for EVERY step.
+    loss_sync_every: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

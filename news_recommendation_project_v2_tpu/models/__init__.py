@@ -36,14 +36,33 @@ from .towers import (
 )
 
 
+def _dtypes(config: TowerConfig):
+    """(compute dtype, param dtype) from the config strings. compute
+    ``float32`` maps to None (flax promotion semantics — with f32 params that
+    IS f32 compute, and it keeps pre-dtype checkpoints bit-identical)."""
+    import jax.numpy as jnp
+
+    table = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+    compute = None if config.compute_dtype == "float32" else table[config.compute_dtype]
+    return compute, table[config.param_dtype]
+
+
 def build_tower(config: TowerConfig) -> nn.Module:
     """User-tower factory (reference ``get_final_attention_model`` /
-    ``get_new_attention_model`` / ``get_latent_attention_model``)."""
+    ``get_new_attention_model`` / ``get_latent_attention_model``).
+
+    ``config.compute_dtype``/``param_dtype`` select mixed precision: params
+    kept in ``param_dtype`` (f32 masters for the optimizer), matmuls run in
+    ``compute_dtype``; LayerNorms, softmaxes, and pooling epilogues stay f32.
+    """
+    dtype, param_dtype = _dtypes(config)
     if config.kind == "final_attention":
         return FinalAttention(
             reduced_dim=config.reduced_dim,
             hidden_dim=config.hidden_dim,
             dropout_rate=config.dropout_rate,
+            dtype=dtype,
+            param_dtype=param_dtype,
         )
     if config.kind == "transformer":
         return TransformerTower(
@@ -51,6 +70,8 @@ def build_tower(config: TowerConfig) -> nn.Module:
             num_layers=config.num_layers,
             dropout_rate=config.dropout_rate,
             as_built=config.as_built,
+            dtype=dtype,
+            param_dtype=param_dtype,
         )
     if config.kind == "latent":
         return LatentAttentionTower(
@@ -59,6 +80,8 @@ def build_tower(config: TowerConfig) -> nn.Module:
             heads=config.num_heads,
             dim_head=config.latent_dim_head,
             use_fused=config.fused_attention,
+            dtype=dtype,
+            param_dtype=param_dtype,
         )
     raise ValueError(f"Unknown tower kind: {config.kind!r}")
 

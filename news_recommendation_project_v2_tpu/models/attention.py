@@ -19,6 +19,8 @@ matmuls; no torch SDPA equivalent is needed.
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -30,13 +32,20 @@ class SelfAttention(nn.Module):
 
     hidden_size: int = REDUCED_DIM
     num_heads: int = 8
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         assert self.hidden_size % self.num_heads == 0
         head_dim = self.hidden_size // self.num_heads
         b, l, _ = hidden.shape
-        qkv = nn.Dense(self.hidden_size * 3, name="qkv_proj")(hidden)
+        qkv = nn.Dense(
+            self.hidden_size * 3,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="qkv_proj",
+        )(hidden)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -44,13 +53,19 @@ class SelfAttention(nn.Module):
         scale = head_dim**-0.5
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
         # Additive mask: (1 - mask) * finfo.min (reference attention.py:98-104).
-        bias = (1.0 - mask[:, None, None, :].astype(logits.dtype)) * jnp.finfo(
-            logits.dtype
+        logits32 = logits.astype(jnp.float32)
+        bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * jnp.finfo(
+            jnp.float32
         ).min
-        probs = nn.softmax(logits + bias, axis=-1)
+        probs = nn.softmax(logits32 + bias, axis=-1).astype(logits.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, self.hidden_size)
-        return nn.Dense(self.hidden_size, name="o_proj")(ctx)
+        return nn.Dense(
+            self.hidden_size,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="o_proj",
+        )(ctx)
 
 
 class GatedMLP(nn.Module):
@@ -59,16 +74,27 @@ class GatedMLP(nn.Module):
     hidden_size: int = REDUCED_DIM
     intermediate_size: int = 3072
     dropout_rate: float = 0.1
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         up_gate = nn.Dense(
-            self.intermediate_size * 2, use_bias=False, name="up_gate_proj"
+            self.intermediate_size * 2,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="up_gate_proj",
         )(x)
         up, gate = jnp.split(up_gate, 2, axis=-1)
         gated = nn.gelu(gate) * up
         gated = nn.Dropout(self.dropout_rate)(gated, deterministic=deterministic)
-        return nn.Dense(self.hidden_size, name="down_proj")(gated)
+        return nn.Dense(
+            self.hidden_size,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="down_proj",
+        )(gated)
 
 
 class TransformerLayer(nn.Module):
@@ -85,20 +111,31 @@ class TransformerLayer(nn.Module):
     residual_connection: bool = True
     dropout_rate: float = 0.1
     as_built: bool = False
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, hidden: jnp.ndarray, mask: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
-        attn = SelfAttention(self.hidden_size, name="attention")(hidden, mask)
+        attn = SelfAttention(
+            self.hidden_size,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attention",
+        )(hidden, mask)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         if self.residual_connection:
             attn = attn + hidden
         attn = nn.LayerNorm(epsilon=1e-12, name="attn_layernorm")(attn)
 
-        mlp = GatedMLP(self.hidden_size, dropout_rate=self.dropout_rate, name="g_mlp")(
-            attn, deterministic=deterministic
-        )
+        mlp = GatedMLP(
+            self.hidden_size,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="g_mlp",
+        )(attn, deterministic=deterministic)
         mlp = nn.Dropout(self.dropout_rate)(mlp, deterministic=deterministic)
         if self.residual_connection:
             mlp = mlp + attn
@@ -119,6 +156,8 @@ class TransformerEncoder(nn.Module):
     dropout_rate: float = 0.1
     as_built: bool = False
     residual_connection: bool = True
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -130,6 +169,8 @@ class TransformerEncoder(nn.Module):
                 residual_connection=self.residual_connection,
                 dropout_rate=self.dropout_rate,
                 as_built=self.as_built,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(hidden, mask, deterministic)
         return hidden
@@ -143,6 +184,8 @@ class TransformerTower(nn.Module):
     num_layers: int = NUM_HIDDEN_LAYERS
     dropout_rate: float = 0.1
     as_built: bool = False
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -156,12 +199,23 @@ class TransformerTower(nn.Module):
             self.num_layers,
             self.dropout_rate,
             self.as_built,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
             name="encoder",
         )(embeddings, attention_mask, deterministic)
-        w = nn.Dense(self.hidden_size, name="linear1")(res)
-        w = jnp.exp(w) * attention_mask[..., None].astype(w.dtype)
+        w = nn.Dense(
+            self.hidden_size,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="linear1",
+        )(res)
+        # exp-weight readout in f32: exp + per-dimension normalization over up
+        # to 600 history items is precision-sensitive in low dtypes.
+        w = jnp.exp(w.astype(jnp.float32)) * attention_mask[..., None].astype(
+            jnp.float32
+        )
         w = w / (w.sum(axis=1, keepdims=True) + 1e-10)
-        return (res * w).sum(axis=1)
+        return (res.astype(jnp.float32) * w).sum(axis=1).astype(res.dtype)
 
 
 class TokenAttentionPool(nn.Module):

@@ -14,6 +14,8 @@ XLA maps the matmuls onto the MXU.
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -28,6 +30,10 @@ class CrossAttention(nn.Module):
     (``ops.pallas_attention``). It requires the context to be identical across
     the batch (true here: the context is the broadcast shared latents), so K/V
     are computed once from ``context[0]``.
+
+    ``dtype`` is the matmul compute dtype (flax semantics: None promotes inputs
+    and params — pure f32 with the default f32 params); the softmax always
+    accumulates in f32.
     """
 
     query_dim: int
@@ -35,32 +41,39 @@ class CrossAttention(nn.Module):
     heads: int = 8
     dim_head: int = 512
     use_fused: bool = False
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        dense = lambda *a, **kw: nn.Dense(  # noqa: E731
+            *a, dtype=self.dtype, param_dtype=self.param_dtype, **kw
+        )
         inner = self.heads * self.dim_head
         b, l, _ = x.shape
         n = context.shape[1]
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        q = dense(inner, use_bias=False, name="to_q")(x)
         q = q.reshape(b, l, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         if self.use_fused:
             from ..ops.pallas_attention import fused_latent_attention
 
-            kv1 = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context[0])
+            kv1 = dense(inner * 2, use_bias=False, name="to_kv")(context[0])
             k1, v1 = jnp.split(kv1, 2, axis=-1)
             k1 = k1.reshape(n, self.heads, self.dim_head).transpose(1, 0, 2)
             v1 = v1.reshape(n, self.heads, self.dim_head).transpose(1, 0, 2)
             ctx = fused_latent_attention(q, k1, v1)
         else:
-            kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context)
+            kv = dense(inner * 2, use_bias=False, name="to_kv")(context)
             k, v = jnp.split(kv, 2, axis=-1)
             k = k.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
             v = v.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
             logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (self.dim_head**-0.5)
-            probs = nn.softmax(logits, axis=-1)
+            probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+                logits.dtype
+            )
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, inner)
-        return nn.Dense(self.query_dim, use_bias=False, name="to_out")(ctx)
+        return dense(self.query_dim, use_bias=False, name="to_out")(ctx)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -68,13 +81,22 @@ class GEGLUFeedForward(nn.Module):
 
     dim: int
     mult: int = 4
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(self.dim * self.mult * 2, name="proj_in")(x)
+        h = nn.Dense(
+            self.dim * self.mult * 2,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="proj_in",
+        )(x)
         h, gates = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gates)
-        return nn.Dense(self.dim, name="proj_out")(h)
+        return nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out"
+        )(h)
 
 
 class LatentAttentionTower(nn.Module):
@@ -86,6 +108,10 @@ class LatentAttentionTower(nn.Module):
     dim_head: int = 512
     output_normalize: bool = True
     use_fused: bool = False  # Pallas fused cross-attention kernel
+    # Mixed precision: ``dtype`` = matmul compute dtype (None = promote, i.e.
+    # f32 with f32 params); LayerNorms and the pooling epilogue stay f32.
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -115,26 +141,31 @@ class LatentAttentionTower(nn.Module):
                 self.heads,
                 self.dim_head,
                 use_fused=self.use_fused,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
                 name="cross_attn",
             )(normed_x, normed_ctx)
             + h
         )
         # PreNorm GEGLU feed-forward, residual (latent_attention.py:163).
-        h = GEGLUFeedForward(self.dim, name="cross_ff")(
-            nn.LayerNorm(name="ff_prenorm")(h)
-        ) + h
+        h = GEGLUFeedForward(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="cross_ff"
+        )(nn.LayerNorm(name="ff_prenorm")(h)) + h
 
         if attention_mask is not None:
-            m = attention_mask[..., None].astype(h.dtype)
+            # Pool in f32: summing up to 600 low-precision items per row loses
+            # mantissa bits; the flat path's finalize accumulates f32 too.
+            h32 = h.astype(jnp.float32)
+            m = attention_mask[..., None].astype(jnp.float32)
             # Denominators guarded: fully-padded rows (batch padding) would give
             # 0/0 whose *gradient* NaN-poisons the whole batch under jax.grad
             # even when the row is never read downstream.
             denom = jnp.maximum(
-                attention_mask.sum(axis=1, keepdims=True).astype(h.dtype), 1.0
+                attention_mask.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0
             )
-            pooled = (h * m).sum(axis=1) / denom
+            pooled = (h32 * m).sum(axis=1) / denom
             if self.output_normalize:
                 norm = jnp.sqrt((pooled * pooled).sum(-1, keepdims=True) + 1e-12)
                 pooled = pooled / norm
-            return pooled
+            return pooled.astype(h.dtype)
         return h

@@ -14,6 +14,8 @@ Capability parity with reference ``modeling_utils.py``:
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -46,6 +48,8 @@ class FinalAttention(nn.Module):
     reduced_dim: int = REDUCED_DIM
     hidden_dim: int = 4096
     dropout_rate: float = 0.1
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -57,14 +61,20 @@ class FinalAttention(nn.Module):
         drop = lambda x: nn.Dropout(self.dropout_rate)(  # noqa: E731
             x, deterministic=deterministic
         )
-        x = drop(nn.relu(nn.Dense(self.hidden_dim, name="linear1")(embeddings)))
-        x = drop(nn.relu(nn.Dense(self.hidden_dim, name="linear2")(x)))
-        x = nn.Dense(self.reduced_dim, name="linear3")(x)
-        w = drop(nn.relu(nn.Dense(self.hidden_dim, name="linear4")(x)))
-        w = nn.Dense(self.reduced_dim, use_bias=False, name="linear5")(w)
-        w = jnp.exp(w) * attention_mask[..., None].astype(w.dtype)
+        dense = lambda *a, **kw: nn.Dense(  # noqa: E731
+            *a, dtype=self.dtype, param_dtype=self.param_dtype, **kw
+        )
+        x = drop(nn.relu(dense(self.hidden_dim, name="linear1")(embeddings)))
+        x = drop(nn.relu(dense(self.hidden_dim, name="linear2")(x)))
+        x = dense(self.reduced_dim, name="linear3")(x)
+        w = drop(nn.relu(dense(self.hidden_dim, name="linear4")(x)))
+        w = dense(self.reduced_dim, use_bias=False, name="linear5")(w)
+        # exp-weight readout in f32 (precision-sensitive over long histories).
+        w = jnp.exp(w.astype(jnp.float32)) * attention_mask[..., None].astype(
+            jnp.float32
+        )
         w = w / (w.sum(axis=1, keepdims=True) + 1e-10)
-        return (x * w).sum(axis=1)
+        return (x.astype(jnp.float32) * w).sum(axis=1).astype(x.dtype)
 
 
 class WeightedSumModel(nn.Module):

@@ -103,6 +103,31 @@ def make_sharded_joint_train_step(
     )
 
 
+def make_sharded_e2e_train_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    donate: bool = True,
+) -> Callable:
+    """Sharded end-to-end (token encoder + tower) step
+    (see ``make_end2end_train_step``): the unique-news token states shard over
+    ``data`` (the token-encoder forward/backward is the dominant compute), the
+    pair batch shards over ``data`` too; the gather of per-news embeddings by
+    batch rows becomes an XLA collective. Params/opt-state replicated, so the
+    gradient psum is inserted by SPMD as usual."""
+    rep = replicated(mesh)
+    dat = batch_sharding(mesh)
+    dat2 = NamedSharding(mesh, P("data", None))
+    in_shardings = (
+        rep, rep, dat2, dat2, dat2, dat2, dat, dat, dat, dat, rep,
+    )
+    return jax.jit(
+        step_fn,
+        in_shardings=in_shardings,
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
 def make_sequence_sharded_tower_fn(mesh: Mesh, tower_apply: Callable) -> Callable:
     """Sequence-parallel tower forward: the history axis of [B, L, D] inputs is
     sharded over the ``model`` axis (batch over ``data``), so very long clicked

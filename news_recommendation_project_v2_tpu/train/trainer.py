@@ -288,6 +288,7 @@ class TowerTrainer:
     def train_one_epoch(self) -> float:
         from ..data.prefetch import prefetch
 
+        sync = max(1, self.cfg.loss_sync_every)
         losses, counts = [], []
         for batch in prefetch(self._epoch_batches()):
             self.key, sub = jax.random.split(self.key)
@@ -299,10 +300,13 @@ class TowerTrainer:
                 *map(jnp.asarray, batch),
                 sub,
             )
-            # Sync per step: unbounded async queues stall badly on tunneled
-            # devices, and the loss is consumed every step anyway.
-            losses.append(float(loss))
+            losses.append(loss)
+            if len(losses) % sync == 0:
+                # Bound the async dispatch queue (unbounded queues stall on
+                # tunneled devices); cfg.loss_sync_every=1 syncs every step.
+                losses[-1] = float(losses[-1])
             counts.append(float(batch[5].sum()))
+        losses = [float(x) for x in losses]
         # Weighted epoch loss (reference trainer.py:635).
         return float(np.dot(losses, counts) / np.sum(counts))
 
@@ -531,6 +535,7 @@ class JointTowerTrainer(TowerTrainer):
         )
         from ..data.prefetch import prefetch
 
+        sync = max(1, self.cfg.loss_sync_every)
         for batch in prefetch(self._epoch_batches()):
             hist_idx, hist_mask, rev, pos, neg, pair_mask = batch
             self.key, sub = jax.random.split(self.key)
@@ -544,8 +549,11 @@ class JointTowerTrainer(TowerTrainer):
                 jnp.asarray(baseline[neg].astype(np.float32)),
                 sub,
             )
-            losses.append(float(loss))  # per-step sync (see TowerTrainer)
+            losses.append(loss)
+            if len(losses) % sync == 0:  # queue bound (see TowerTrainer)
+                losses[-1] = float(losses[-1])
             counts.append(float(pair_mask.sum()))
+        losses = [float(x) for x in losses]
         return float(np.dot(losses, counts) / np.sum(counts))
 
     def _alpha(self) -> Optional[float]:
@@ -636,6 +644,7 @@ class EndToEndTrainer:
         compiled_val: Optional[CompiledBehaviors] = None,
         val_token_store=None,
         eval_each_epoch: bool = False,
+        mesh=None,  # jax.sharding.Mesh: shard token states + batch over `data`
     ):
         assert len(compiled_train.hist_lens) == compiled_train.num_rows
         assert (compiled_val is None) == (val_token_store is None), (
@@ -670,12 +679,17 @@ class EndToEndTrainer:
 
         from .step import make_end2end_train_step
 
-        self._train_step = jax.jit(
-            make_end2end_train_step(
-                token_encoder_apply, tower_apply, self.optimizer, cfg.margin
-            ),
-            donate_argnums=(0, 1),
+        raw_step = make_end2end_train_step(
+            token_encoder_apply, tower_apply, self.optimizer, cfg.margin
         )
+        self.mesh = mesh
+        if mesh is not None:
+            assert cfg.batch_size % mesh.shape["data"] == 0
+            from ..parallel.sharding import make_sharded_e2e_train_step
+
+            self._train_step = make_sharded_e2e_train_step(raw_step, mesh)
+        else:
+            self._train_step = jax.jit(raw_step, donate_argnums=(0, 1))
 
     def _epoch_batches(self) -> Iterator[tuple]:
         cfg = self.cfg
@@ -742,17 +756,25 @@ class EndToEndTrainer:
     def train_one_epoch(self) -> float:
         from ..data.prefetch import prefetch
 
+        sync = max(1, self.cfg.loss_sync_every)
         losses, counts = [], []
         for batch in prefetch(self._epoch_batches()):
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, *map(jnp.asarray, batch), sub
             )
-            loss = float(loss)
-            if not np.isfinite(loss):  # NaN abort (reference trainer.py:1070-1072)
-                raise FloatingPointError("NaN/Inf loss in end-to-end training")
             losses.append(loss)
+            if len(losses) % sync == 0:  # queue bound (see TowerTrainer)
+                loss = float(loss)
+                losses[-1] = loss
+                # NaN abort (reference trainer.py:1070-1072); with a sync
+                # cadence > 1 detection lags by at most ``sync - 1`` steps.
+                if not np.isfinite(loss):
+                    raise FloatingPointError("NaN/Inf loss in end-to-end training")
             counts.append(float(batch[7].sum()))
+        losses = [float(x) for x in losses]
+        if losses and not np.isfinite(losses).all():
+            raise FloatingPointError("NaN/Inf loss in end-to-end training")
         return float(np.dot(losses, counts) / np.sum(counts))
 
     def _eval_split(self, compiled: CompiledBehaviors, store) -> dict[str, float]:
@@ -935,8 +957,11 @@ class ClassificationTrainer:
                 jnp.asarray(neg),
                 jnp.asarray(mask),
             )
-            losses.append(float(loss))  # per-step sync (see TowerTrainer)
+            losses.append(loss)
+            if len(losses) % max(1, cfg.loss_sync_every) == 0:
+                losses[-1] = float(losses[-1])  # queue bound (see TowerTrainer)
             counts.append(float(mask.sum()))
+        losses = [float(x) for x in losses]
         return float(np.dot(losses, counts) / np.sum(counts))
 
     def baseline_scores(self, news_emb) -> np.ndarray:

@@ -176,3 +176,75 @@ def test_build_tower_factory():
         assert tower is not None
     with pytest.raises(ValueError):
         build_tower(TowerConfig(kind="nope"))
+
+
+def test_mixed_precision_towers_close_to_f32(rng):
+    """compute_dtype=bfloat16 keeps f32 params (optimizer masters) and matches
+    the f32 forward within bf16 tolerance for every tower kind."""
+    from news_recommendation_project_v2_tpu.config import TowerConfig
+    from news_recommendation_project_v2_tpu.models import build_tower
+
+    D = 32
+    emb = jnp.asarray(rng.standard_normal((4, 12, D)), dtype=jnp.float32)
+    mask = jnp.asarray((rng.random((4, 12)) < 0.8).astype(np.float32))
+    mask = mask.at[:, 0].set(1.0)
+    for kind in ("latent", "final_attention", "transformer"):
+        kwargs = dict(
+            kind=kind, reduced_dim=D, embedding_dim=D, hidden_dim=2 * D,
+            num_latents=4, latent_dim_head=8,
+        )
+        t32 = build_tower(TowerConfig(**kwargs))
+        tb16 = build_tower(TowerConfig(**kwargs, compute_dtype="bfloat16"))
+        params = jax.jit(lambda t=t32: t.init(jax.random.key(0), emb, mask))()
+        # Same param pytree: the bf16 tower reuses the f32 params verbatim.
+        for a, b in zip(
+            jax.tree.leaves(params),
+            jax.tree.leaves(jax.jit(lambda t=tb16: t.init(jax.random.key(0), emb, mask))()),
+        ):
+            assert a.dtype == b.dtype == jnp.float32
+        out32 = jax.jit(t32.apply)(params, emb, mask)
+        out16 = jax.jit(tb16.apply)(params, emb, mask)
+        # bf16 matmuls actually engaged (results differ from pure f32) but the
+        # f32 residual stream / epilogues keep the output close.
+        assert not np.array_equal(np.asarray(out16, np.float32), np.asarray(out32))
+        np.testing.assert_allclose(
+            np.asarray(out16, np.float32), np.asarray(out32), atol=0.05, rtol=0.05,
+        )
+
+
+def test_mixed_precision_training_learns(rng):
+    """bf16-compute latent tower trains (f32 param masters updated by AdamW)."""
+    from news_recommendation_project_v2_tpu.config import TowerConfig, TrainConfig
+    from news_recommendation_project_v2_tpu.data import compile_behaviors
+    from news_recommendation_project_v2_tpu.data.synthetic import (
+        align_embeddings,
+        synthetic_learnable_behaviors,
+    )
+    from news_recommendation_project_v2_tpu.models import build_tower
+    from news_recommendation_project_v2_tpu.train.trainer import TowerTrainer
+
+    D = 32
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=100, num_rows=120, dim=D, noise=0.05
+    )
+    c = compile_behaviors(imps, hist).with_history_view()
+    emb_j = jnp.asarray(align_embeddings(c.news_ids, emb))
+    tower = build_tower(
+        TowerConfig(
+            kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8,
+            compute_dtype="bfloat16",
+        )
+    )
+    params = jax.jit(
+        lambda: tower.init(jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+    )()
+    trainer = TowerTrainer(
+        tower.apply, params, c, emb_j, compiled_val=c, news_emb_val=emb_j,
+        cfg=TrainConfig(learning_rate=3e-4, num_epochs=2, batch_size=64, seed=0),
+    )
+    history = trainer.train()
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert all(
+        leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(trainer.params)
+    )
+    assert np.isfinite(history[-1]["val"]["auc"])

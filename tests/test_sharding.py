@@ -313,6 +313,57 @@ def test_mesh_joint_trainer_matches_single_device(mesh):
         assert h_mesh[-1]["val"][k] == pytest.approx(v, abs=1e-6)
 
 
+def test_mesh_e2e_trainer_matches_single_device(mesh, rng):
+    """Sharded end-to-end (token encoder + tower) training run reproduces the
+    single-device run's losses."""
+    from news_recommendation_project_v2_tpu.data import compile_behaviors
+    from news_recommendation_project_v2_tpu.data.synthetic import (
+        align_embeddings,
+        synthetic_learnable_behaviors,
+    )
+    from news_recommendation_project_v2_tpu.models import TokenAttentionPool
+    from news_recommendation_project_v2_tpu.ops.encode import TokenStore
+    from news_recommendation_project_v2_tpu.train import EndToEndTrainer
+
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=80, num_rows=80, dim=D, noise=0.05
+    )
+    c = compile_behaviors(imps, hist).with_history_view()
+    emb_np = align_embeddings(c.news_ids, emb)
+    arrays = [
+        emb_np[i][None, :]
+        + rng.standard_normal((int(rng.integers(2, 6)), D)).astype(np.float32) * 0.05
+        for i in range(c.num_news)
+    ]
+    store = TokenStore.from_ragged(arrays)
+
+    def make(mesh):
+        tower = build_tower(
+            TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
+        )
+        tower_params = jax.jit(
+            lambda: tower.init(
+                jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
+            )
+        )()
+        tok_model = TokenAttentionPool(hidden_size=D, num_layers=1)
+        tok_params = jax.jit(
+            lambda: tok_model.init(
+                jax.random.key(3), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
+            )
+        )()
+        return EndToEndTrainer(
+            tok_model.apply, tok_params, tower.apply, tower_params, c, store,
+            cfg=TrainConfig(learning_rate=1e-4, num_epochs=1, batch_size=32, seed=0),
+            max_token_len=8,
+            mesh=mesh,
+        )
+
+    h_single = make(None).train()
+    h_mesh = make(mesh).train()
+    assert h_single[-1]["loss"] == pytest.approx(h_mesh[-1]["loss"], rel=1e-4)
+
+
 def test_sharded_flat_eval_matches_single_device(mesh, rng):
     """Zero-collective sharded flat eval (shard_map, row-partitioned
     accumulators) reproduces the single-device FlatEvalPlan scores."""

@@ -161,3 +161,41 @@ def test_plateau_scheduler_reduces_lr(learnable):
     grads = {"w": jnp.ones(3)}
     updates, state = jax.jit(opt.update)(grads, state, params)
     assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_loss_sync_cadence_equivalent(rng):
+    """loss_sync_every only changes WHEN losses are fetched, never the values
+    or the training trajectory."""
+    from news_recommendation_project_v2_tpu.config import TowerConfig, TrainConfig
+    from news_recommendation_project_v2_tpu.data import compile_behaviors
+    from news_recommendation_project_v2_tpu.data.synthetic import (
+        align_embeddings,
+        synthetic_learnable_behaviors,
+    )
+    from news_recommendation_project_v2_tpu.models import build_tower
+    from news_recommendation_project_v2_tpu.train.trainer import TowerTrainer
+
+    D = 32
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=80, num_rows=100, dim=D, noise=0.05
+    )
+    c = compile_behaviors(imps, hist).with_history_view()
+    emb_j = jnp.asarray(align_embeddings(c.news_ids, emb))
+
+    def run(sync):
+        tower = build_tower(
+            TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
+        )
+        params = jax.jit(
+            lambda: tower.init(jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+        )()
+        t = TowerTrainer(
+            tower.apply, params, c, emb_j,
+            cfg=TrainConfig(
+                learning_rate=3e-4, num_epochs=1, batch_size=32, seed=0,
+                loss_sync_every=sync,
+            ),
+        )
+        return t.train_one_epoch()
+
+    assert run(1) == pytest.approx(run(8), rel=1e-6)
