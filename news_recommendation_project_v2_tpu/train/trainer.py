@@ -129,6 +129,7 @@ class TowerTrainer:
         buckets: tuple[int, ...] = HISTORY_BUCKETS,
         mesh=None,  # jax.sharding.Mesh: run train steps + eval data-parallel
         flat_eval: bool = False,  # token-local towers only (supports_flat_scoring)
+        flat_train: bool = False,  # flat-token train step (token-local, margin)
     ):
         assert len(compiled_train.hist_lens) == compiled_train.num_rows, (
             "TowerTrainer needs a with-history view (every row must have history)"
@@ -172,6 +173,20 @@ class TowerTrainer:
                 f"({mesh.shape['data']})"
             )
             self._place_tables(mesh)
+        self.flat_train = flat_train
+        if flat_train:
+            assert cfg.loss == "margin", "flat_train supports margin loss only"
+            assert mesh is None, (
+                "flat_train + mesh: use the padded sharded step (the flat "
+                "step's replicated-accumulator scatter does not shard well)"
+            )
+            from .step import make_tower_train_step_flat
+
+            self._train_step = jax.jit(
+                make_tower_train_step_flat(tower_apply, self.optimizer, cfg.margin),
+                donate_argnums=(0, 1),
+            )
+            return
         if cfg.loss == "infonce":
             from .step import make_tower_infonce_step
 
@@ -285,12 +300,67 @@ class TowerTrainer:
                 np.pad(np.ones(stop - start, np.float32), (0, pad)),
             )
 
+    def _epoch_batches_flat(self) -> Iterator[tuple]:
+        """``_epoch_batches`` for the flat-token step: instead of a padded
+        [B, bucket] history block, each batch carries the deduped rows' flat
+        token stream (end-aligned cap at the largest bucket) padded to the next
+        power of two — ~40% fewer tower FLOPs at MIND history statistics."""
+        cfg = self.cfg
+        cap = self.buckets[-1]
+        offsets = self._hist_offsets
+        pairs = sample_pos_neg_pairs(
+            self.rng,
+            self.ct.imp_rev,
+            self.ct.imp_lens,
+            self.ct.labels_flat,
+            cfg.max_neg_ratio,
+            cfg.max_pos_ratio,
+        )
+        perm = batch_aligned_permutation(self.rng, pairs.shape[1], cfg.batch_size)
+        pairs = pairs[:, perm]
+        B = cfg.batch_size
+        for start in range(0, pairs.shape[1], B):
+            stop = min(start + B, pairs.shape[1])
+            pos = pairs[0, start:stop]
+            neg = pairs[1, start:stop]
+            rows = pairs[2, start:stop]
+            uniq_rows, rev = np.unique(rows, return_inverse=True)
+            lens = np.minimum(self.ct.hist_lens[uniq_rows], cap).astype(np.int64)
+            ends = offsets[uniq_rows + 1]
+            keep_off = lengths_to_offsets(lens)
+            total = int(keep_off[-1])
+            sel = np.repeat(ends - lens, lens) + (
+                np.arange(total) - np.repeat(keep_off[:-1], lens)
+            )
+            T = max(1024, 1 << int(np.ceil(np.log2(max(total, 1)))))
+            tok_idx = np.zeros(T, np.int32)
+            tok_idx[:total] = self.ct.hist_rev[sel]
+            tok_rows = np.full(T, B, np.int32)  # out-of-range -> dropped
+            tok_rows[:total] = np.repeat(
+                np.arange(len(uniq_rows), dtype=np.int32), lens
+            )
+            lens_arr = np.zeros(B, np.float32)
+            lens_arr[: len(uniq_rows)] = lens
+            pad = B - (stop - start)
+            yield (
+                tok_idx,
+                tok_rows,
+                lens_arr,
+                np.pad(rev.astype(np.int32), (0, pad)),
+                np.pad(pos.astype(np.int32), (0, pad)),
+                np.pad(neg.astype(np.int32), (0, pad)),
+                np.pad(np.ones(stop - start, np.float32), (0, pad)),
+            )
+
     def train_one_epoch(self) -> float:
         from ..data.prefetch import prefetch
 
         sync = max(1, self.cfg.loss_sync_every)
+        batches = (
+            self._epoch_batches_flat() if self.flat_train else self._epoch_batches()
+        )
         losses, counts = [], []
-        for batch in prefetch(self._epoch_batches()):
+        for batch in prefetch(batches):
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, loss = self._train_step(
                 self.params,
@@ -305,7 +375,7 @@ class TowerTrainer:
                 # Bound the async dispatch queue (unbounded queues stall on
                 # tunneled devices); cfg.loss_sync_every=1 syncs every step.
                 losses[-1] = float(losses[-1])
-            counts.append(float(batch[5].sum()))
+            counts.append(float(batch[-1].sum()))
         losses = [float(x) for x in losses]
         # Weighted epoch loss (reference trainer.py:635).
         return float(np.dot(losses, counts) / np.sum(counts))

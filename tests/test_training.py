@@ -199,3 +199,46 @@ def test_loss_sync_cadence_equivalent(rng):
         return t.train_one_epoch()
 
     assert run(1) == pytest.approx(run(8), rel=1e-6)
+
+
+def test_flat_train_matches_padded(rng):
+    """The flat-token train step reproduces the padded step's training run
+    (same sampling stream, same math up to f32 summation order)."""
+    from news_recommendation_project_v2_tpu.config import TowerConfig, TrainConfig
+    from news_recommendation_project_v2_tpu.data import compile_behaviors
+    from news_recommendation_project_v2_tpu.data.synthetic import (
+        align_embeddings,
+        synthetic_learnable_behaviors,
+    )
+    from news_recommendation_project_v2_tpu.models import build_tower
+    from news_recommendation_project_v2_tpu.train.trainer import TowerTrainer
+
+    D = 32
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=100, num_rows=120, dim=D, noise=0.05
+    )
+    c = compile_behaviors(imps, hist).with_history_view()
+    emb_j = jnp.asarray(align_embeddings(c.news_ids, emb))
+
+    def run(flat):
+        tower = build_tower(
+            TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
+        )
+        params = jax.jit(
+            lambda: tower.init(jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+        )()
+        t = TowerTrainer(
+            tower.apply, params, c, emb_j, compiled_val=c, news_emb_val=emb_j,
+            cfg=TrainConfig(learning_rate=3e-4, num_epochs=2, batch_size=32, seed=0),
+            flat_train=flat,
+        )
+        return t.train()
+
+    h_pad = run(False)
+    h_flat = run(True)
+    for rp, rf in zip(h_pad, h_flat):
+        assert rf["loss"] == pytest.approx(rp["loss"], rel=1e-3)
+    for k, v in h_pad[-1]["val"].items():
+        assert h_flat[-1]["val"][k] == pytest.approx(v, abs=5e-3), k
+    # And the run actually learns.
+    assert h_flat[-1]["loss"] < h_flat[0]["loss"]
