@@ -112,6 +112,8 @@ def run_config1(
     """Config[1]: train the latent tower, return final val (or train) metrics."""
     from .train.trainer import TowerTrainer
 
+    from .models import supports_flat_scoring
+
     tower_cfg = tower_cfg or _sized_tower(news_embeddings.shape[1])
     train_cfg = train_cfg or TrainConfig(num_epochs=2, batch_size=256)
     tower = build_tower(tower_cfg)
@@ -121,6 +123,7 @@ def run_config1(
             jax.random.key(train_cfg.seed), jnp.zeros((1, 8, dim)), jnp.ones((1, 8))
         )
     )()
+    flat = supports_flat_scoring(tower_cfg)
     trainer = TowerTrainer(
         tower.apply,
         params,
@@ -133,6 +136,8 @@ def run_config1(
             else None
         ),
         cfg=train_cfg,
+        flat_train=flat and train_cfg.loss == "margin",
+        flat_eval=flat,
     )
     history = trainer.train()
     last = history[-1]

@@ -279,11 +279,19 @@ class _TowerComponentBase(PipelineComponent):
                 self.params = load_pytree(self.warm_start, like=self.params)
         return self.params
 
+    def _flat(self) -> bool:
+        """Token-local towers route through the zero-padding flat paths."""
+        from ..models import supports_flat_scoring
+
+        return supports_flat_scoring(self.tower_config)
+
     def _history_scores(self, context, params=None, tower_apply=None):
         compiled: CompiledBehaviors = context["compiled"]
         view = compiled.with_history_view()
         slots, cand_rows = history_candidate_slots(compiled)
         kwargs = {} if self.buckets is None else {"buckets": self.buckets}
+        if self._flat() and self.buckets is None:
+            kwargs["flat_tokens"] = True
         scores = score_all_impressions(
             tower_apply or (lambda p, e, m: self.tower.apply(p, e, m)),
             params if params is not None else self.params,
@@ -340,6 +348,8 @@ class AttentionComponent(_TowerComponentBase):
             log_dir=self.log_dir,
             ckpt_dir=self.ckpt_dir,
             exp_name=self.exp_name,
+            flat_train=self._flat() and self.cfg.loss == "margin",
+            flat_eval=self._flat(),
         )
         trainer.train()
         if trainer.best.best_path is not None:
