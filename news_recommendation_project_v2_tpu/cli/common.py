@@ -69,14 +69,19 @@ def build_encoder(
         with open(path / "config.json") as f:
             hf_config = json.load(f)
 
+    if path is not None and encoder_config is not None:
+        # With real weights present, an explicit EncoderConfig would make
+        # convert_hf_state_dict silently map only the first cfg.num_layers of
+        # a deeper checkpoint -> garbage embeddings with no error. Geometry
+        # must come from the checkpoint (config.json, or the e5 default for a
+        # bare state-dict file).
+        raise ValueError(
+            "pass either hf_checkpoint or encoder_config, not both: an "
+            "explicit EncoderConfig would silently mismatch checkpoint layers"
+        )
     if hf_config is not None:
-        if encoder_config is not None:
-            raise ValueError(
-                "the checkpoint ships its own config.json; passing an explicit "
-                "EncoderConfig too would silently mismatch checkpoint layers"
-            )
         cfg = encoder_config_from_hf(hf_config)
-    elif path is not None and encoder_config is None:
+    elif path is not None:
         cfg = EncoderConfig()  # bare state-dict file: assume e5 geometry
     else:
         cfg = encoder_config or EncoderConfig()

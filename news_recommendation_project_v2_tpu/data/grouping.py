@@ -25,6 +25,25 @@ def lengths_to_segment_ids(lengths: np.ndarray) -> np.ndarray:
     return np.repeat(np.arange(len(lengths), dtype=np.int32), lengths)
 
 
+def truncate_flat_end_aligned(
+    flat: np.ndarray, lengths: np.ndarray, max_len: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cap each segment of a flat ragged array at its most RECENT ``max_len``
+    items (the history-truncation invariant): returns the new flat array and
+    per-segment lengths. No-op (same array) when nothing exceeds the cap."""
+    lengths = np.asarray(lengths)
+    if not len(lengths) or not (lengths > max_len).any():
+        return np.asarray(flat), lengths
+    offsets = lengths_to_offsets(lengths)
+    keep = np.minimum(lengths, max_len).astype(np.int64)
+    starts = offsets[1:] - keep  # end-aligned: most recent items
+    keep_off = lengths_to_offsets(keep)
+    sel = np.repeat(starts, keep) + (
+        np.arange(keep_off[-1]) - np.repeat(keep_off[:-1], keep)
+    )
+    return np.asarray(flat)[sel], keep
+
+
 def gather_end_aligned(
     flat: np.ndarray,
     ends: np.ndarray,

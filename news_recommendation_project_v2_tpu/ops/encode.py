@@ -349,7 +349,12 @@ def build_token_store(
             else:
                 arrays.append(trimmed)
     if out_dir is not None:
-        states.flush()
+        if states is None:  # empty corpus: write a valid, empty store
+            out_dir = Path(out_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            np.save(out_dir / "states.npy", np.zeros((0, 1), np.float32))
+        else:
+            states.flush()
         np.save(Path(out_dir) / "offsets.npy", offsets)
         # Reopen read-only: training must never mutate the store in place.
         return TokenStore.open_dir(out_dir, mmap=True)

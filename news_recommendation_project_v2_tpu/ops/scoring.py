@@ -37,7 +37,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import HISTORY_BUCKETS
-from ..data.grouping import lengths_to_offsets
+from ..data.grouping import lengths_to_offsets, truncate_flat_end_aligned
 
 
 def _cosine_impl(
@@ -369,6 +369,24 @@ def user_vectors_bucketed(
 DEFAULT_FLAT_CHUNK = 64 * 1024
 
 
+@functools.lru_cache(maxsize=None)
+def _auto_flat_chunk(out_dim: int) -> int:
+    """Flat chunk size from the analytic memory model when the caller doesn't
+    supply one (CLAUDE.md: chunk sizes come from utils/memory.py, not
+    constants). The envelope assumes the flagship latent geometry scaled to
+    the probed output dim — the only flat-capable tower family."""
+    from ..config import TowerConfig
+    from ..utils.memory import estimate_flat_chunk
+
+    cfg = TowerConfig(
+        kind="latent",
+        reduced_dim=out_dim,
+        num_latents=min(64, out_dim),
+        latent_dim_head=max(8, out_dim // 2),
+    )
+    return estimate_flat_chunk(cfg)
+
+
 def _flat_chunk_update_impl(user_vecs, params, table, idx, rows, tower_apply):
     """Per-token tower over one flat token chunk + sorted segment-add of the
     hidden states into the per-row accumulator. ``rows`` is non-decreasing
@@ -442,16 +460,8 @@ def user_vectors_flat(
     hist_lens = np.asarray(hist_lens)
     idx = np.ascontiguousarray(np.asarray(hist_rev, dtype=np.int32))
     num_rows = len(hist_lens)
-    if max_len is not None and num_rows and (hist_lens > max_len).any():
-        offsets = lengths_to_offsets(hist_lens)
-        keep = np.minimum(hist_lens, max_len).astype(np.int64)
-        starts = offsets[1:] - keep  # end-aligned: most recent clicks
-        keep_off = lengths_to_offsets(keep)
-        sel = np.repeat(starts, keep) + (
-            np.arange(keep_off[-1]) - np.repeat(keep_off[:-1], keep)
-        )
-        idx = idx[sel]
-        lens_used = keep
+    if max_len is not None:
+        idx, lens_used = truncate_flat_end_aligned(idx, hist_lens, max_len)
     else:
         lens_used = hist_lens
     rows = np.repeat(np.arange(num_rows, dtype=np.int32), lens_used)
@@ -572,16 +582,8 @@ class FlatEvalPlan:
         hist_lens = np.asarray(hist_lens)
         num_rows = len(hist_lens)
         idx = np.ascontiguousarray(np.asarray(hist_rev, dtype=np.int32))
-        if max_len is not None and num_rows and (hist_lens > max_len).any():
-            offsets = lengths_to_offsets(hist_lens)
-            keep = np.minimum(hist_lens, max_len).astype(np.int64)
-            starts = offsets[1:] - keep  # end-aligned: most recent clicks
-            keep_off = lengths_to_offsets(keep)
-            sel = np.repeat(starts, keep) + (
-                np.arange(keep_off[-1]) - np.repeat(keep_off[:-1], keep)
-            )
-            idx = idx[sel]
-            lens_used = keep
+        if max_len is not None:
+            idx, lens_used = truncate_flat_end_aligned(idx, hist_lens, max_len)
         else:
             lens_used = hist_lens
         rows = np.repeat(np.arange(num_rows, dtype=np.int32), lens_used)
@@ -763,7 +765,8 @@ def score_all_impressions(
             hist_rev,
             hist_lens,
             out_dim=int(probe.shape[-1]),
-            chunk_tokens=tokens_per_batch or DEFAULT_FLAT_CHUNK,
+            chunk_tokens=tokens_per_batch
+            or _auto_flat_chunk(int(probe.shape[-1])),
             max_len=flat_max_len,
             normalize=flat_normalize,
             mesh=mesh,

@@ -25,17 +25,26 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..data.grouping import lengths_to_offsets
+from ..data.grouping import lengths_to_offsets, truncate_flat_end_aligned
 from ..ops.scoring import _flat_eval_body, _probe_out
 
 
 def partition_rows_by_tokens(hist_lens: np.ndarray, parts: int) -> np.ndarray:
-    """[parts+1] contiguous row boundaries with ~equal token counts per part
-    (split points of the token cumsum)."""
+    """[parts+1] contiguous row boundaries with ~equal token counts per part:
+    each split point is the row boundary whose token cumsum is NEAREST the
+    ideal target (at-or-after alone degenerates on skewed lengths — a single
+    long row at a boundary would hand one device everything)."""
     offsets = lengths_to_offsets(hist_lens)
     total = int(offsets[-1])
     targets = (np.arange(1, parts) * total) // parts
-    cuts = np.searchsorted(offsets[1:], targets, side="left") + 1
+    hi = np.searchsorted(offsets, targets, side="left")  # first offset >= target
+    lo = np.maximum(hi - 1, 0)
+    cuts = np.where(
+        np.abs(offsets[np.minimum(hi, len(offsets) - 1)] - targets)
+        < np.abs(targets - offsets[lo]),
+        np.minimum(hi, len(offsets) - 1),
+        lo,
+    )
     bounds = np.concatenate([[0], cuts, [len(hist_lens)]])
     return np.maximum.accumulate(bounds)  # monotone even for degenerate splits
 
@@ -65,16 +74,10 @@ class ShardedFlatEvalPlan:
         cand_rev = np.asarray(cand_rev, dtype=np.int32)
         cand_row = np.asarray(cand_row, dtype=np.int32)
         num_rows = len(hist_lens)
-        if max_len is not None and num_rows and (hist_lens > max_len).any():
-            offsets = lengths_to_offsets(hist_lens)
-            keep = np.minimum(hist_lens, max_len).astype(np.int64)
-            starts = offsets[1:] - keep  # end-aligned: most recent clicks
-            keep_off = lengths_to_offsets(keep)
-            sel = np.repeat(starts, keep) + (
-                np.arange(keep_off[-1]) - np.repeat(keep_off[:-1], keep)
+        if max_len is not None:
+            hist_rev, hist_lens = truncate_flat_end_aligned(
+                hist_rev, hist_lens, max_len
             )
-            hist_rev = hist_rev[sel]
-            hist_lens = keep
         # Candidate slots grouped by owning row (stable, so original order is
         # recoverable per row group); history_candidate_slots already emits
         # row-major slots, in which case this sort is the identity.
@@ -123,6 +126,10 @@ class ShardedFlatEvalPlan:
         self.lens2d = jax.device_put(np.maximum(lens2d, 0.0), sh)
         self.crev2d = jax.device_put(crev2d, sh)
         self.crow2d = jax.device_put(crow2d, sh)
+        # Jitted shard_map programs cached per (tower_apply, normalize,
+        # out_dim): rebuilding the closure per score() would retrace and
+        # recompile every eval (30-500s/program on remote-compile TPUs).
+        self._fns: dict = {}
 
     def score(
         self,
@@ -149,31 +156,40 @@ class ShardedFlatEvalPlan:
             (params, news_emb, table_for_history),
         )
 
-        def device_body(params, news, query, idx2d, rows2d, lens, crev2d, crow2d):
-            scores = _flat_eval_body(
-                params,
-                news,
-                query,
-                idx2d[0],
-                rows2d[0],
-                lens[0],
-                crev2d[0],
-                crow2d[0],
-                tower_apply=tower_apply,
-                normalize=normalize,
-                out_dim=out_dim,
-            )
-            return scores[None]
+        key = (tower_apply, normalize, out_dim)
+        fn = self._fns.get(key)
+        if fn is None:
 
-        fn = jax.jit(
-            shard_map(
-                device_body,
-                mesh=mesh,
-                in_specs=(P(), P(), P(), P(axes), P(axes), P(axes), P(axes), P(axes)),
-                out_specs=P(axes),
-                check_vma=False,
+            def device_body(
+                params, news, query, idx2d, rows2d, lens, crev2d, crow2d
+            ):
+                scores = _flat_eval_body(
+                    params,
+                    news,
+                    query,
+                    idx2d[0],
+                    rows2d[0],
+                    lens[0],
+                    crev2d[0],
+                    crow2d[0],
+                    tower_apply=tower_apply,
+                    normalize=normalize,
+                    out_dim=out_dim,
+                )
+                return scores[None]
+
+            fn = jax.jit(
+                shard_map(
+                    device_body,
+                    mesh=mesh,
+                    in_specs=(
+                        P(), P(), P(), P(axes), P(axes), P(axes), P(axes), P(axes),
+                    ),
+                    out_specs=P(axes),
+                    check_vma=False,
+                )
             )
-        )
+            self._fns[key] = fn
         out = np.asarray(
             fn(
                 params,

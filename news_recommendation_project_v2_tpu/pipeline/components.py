@@ -280,18 +280,23 @@ class _TowerComponentBase(PipelineComponent):
         return self.params
 
     def _flat(self) -> bool:
-        """Token-local towers route through the zero-padding flat paths."""
+        """Token-local towers route through the zero-padding flat paths.
+        Explicit ``buckets`` force the padded path EVERYWHERE (train + eval +
+        transform must share one truncation/scoring semantics)."""
         from ..models import supports_flat_scoring
 
-        return supports_flat_scoring(self.tower_config)
+        return supports_flat_scoring(self.tower_config) and self.buckets is None
 
     def _history_scores(self, context, params=None, tower_apply=None):
+        from ..config import HISTORY_BUCKETS
+
         compiled: CompiledBehaviors = context["compiled"]
         view = compiled.with_history_view()
         slots, cand_rows = history_candidate_slots(compiled)
         kwargs = {} if self.buckets is None else {"buckets": self.buckets}
-        if self._flat() and self.buckets is None:
+        if self._flat():
             kwargs["flat_tokens"] = True
+            kwargs["flat_max_len"] = HISTORY_BUCKETS[-1]  # same cap as padded
         scores = score_all_impressions(
             tower_apply or (lambda p, e, m: self.tower.apply(p, e, m)),
             params if params is not None else self.params,
@@ -350,6 +355,7 @@ class AttentionComponent(_TowerComponentBase):
             exp_name=self.exp_name,
             flat_train=self._flat() and self.cfg.loss == "margin",
             flat_eval=self._flat(),
+            **({} if self.buckets is None else {"buckets": self.buckets}),
         )
         trainer.train()
         if trainer.best.best_path is not None:

@@ -398,8 +398,13 @@ class TowerTrainer:
             cand_rows,
             query_news_emb=query_emb,
             batch_size=self.cfg.batch_size,
+            buckets=self.buckets,
             mesh=self.mesh,
             flat_tokens=self.flat_eval,
+            # Cap at the largest bucket so flat eval sees the SAME truncated
+            # histories as the padded eval and the (flat or padded) train
+            # step — otherwise >bucket rows silently change eval semantics.
+            flat_max_len=self.buckets[-1],
         )
         return compose_final_scores(compiled, history_scores=scores).metrics
 
@@ -651,8 +656,10 @@ class JointTowerTrainer(TowerTrainer):
             cand_rows,
             query_news_emb=query_emb,
             batch_size=self.cfg.batch_size,
+            buckets=self.buckets,
             mesh=self.mesh,
             flat_tokens=self.flat_eval,
+            flat_max_len=self.buckets[-1],  # see TowerTrainer._eval_split
         )
         return compose_final_scores(
             compiled,

@@ -131,3 +131,123 @@ def test_plateau_state_survives_resume(tmp_path):
     for _ in range(2):
         t2.opt_state = t2.plateau.update(t2.opt_state, 0.1)
     assert t2.plateau.lr == pytest.approx(1e-6)
+
+
+# ---- round-2 code-review findings ------------------------------------------
+
+
+def test_flat_eval_caps_histories_like_bucketed(rng):
+    """flat_eval must see the SAME truncated histories as the bucketed eval
+    (cap at buckets[-1], most recent), not the full untruncated stream."""
+    import jax
+    import jax.numpy as jnp
+
+    from news_recommendation_project_v2_tpu.config import TowerConfig, TrainConfig
+    from news_recommendation_project_v2_tpu.data import compile_behaviors
+    from news_recommendation_project_v2_tpu.data.synthetic import (
+        align_embeddings,
+        synthetic_learnable_behaviors,
+    )
+    from news_recommendation_project_v2_tpu.models import build_tower
+    from news_recommendation_project_v2_tpu.train.trainer import TowerTrainer
+
+    D = 32
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=100, num_rows=100, dim=D, noise=0.05
+    )
+    c = compile_behaviors(imps, hist).with_history_view()
+    assert c.hist_lens.max() > 8  # the cap below actually truncates
+    emb_j = jnp.asarray(align_embeddings(c.news_ids, emb))
+
+    def make(flat_eval):
+        tower = build_tower(
+            TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
+        )
+        params = jax.jit(
+            lambda: tower.init(jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+        )()
+        return TowerTrainer(
+            tower.apply, params, c, emb_j, compiled_val=c, news_emb_val=emb_j,
+            cfg=TrainConfig(batch_size=32, seed=0),
+            buckets=(8,),  # aggressive cap so truncation matters
+            flat_eval=flat_eval,
+        )
+
+    bucketed_train, _ = make(False).evaluate()
+    flat_train, _ = make(True).evaluate()
+    for k, v in bucketed_train.items():
+        assert flat_train[k] == pytest.approx(v, abs=1e-6), k
+
+
+def test_partition_rows_by_tokens_balances_skewed():
+    from news_recommendation_project_v2_tpu.parallel.flat_eval import (
+        partition_rows_by_tokens,
+    )
+
+    bounds = partition_rows_by_tokens(np.array([1, 100]), 2)
+    np.testing.assert_array_equal(bounds, [0, 1, 2])
+    # Uniform case still splits evenly.
+    bounds = partition_rows_by_tokens(np.full(8, 10), 4)
+    np.testing.assert_array_equal(bounds, [0, 2, 4, 6, 8])
+
+
+def test_build_token_store_empty_corpus_out_dir(tmp_path):
+    from news_recommendation_project_v2_tpu.ops.encode import build_token_store
+
+    store = build_token_store(
+        lambda p, i, m: None,  # never called: zero batches
+        None,
+        np.zeros((0, 4), np.int32),
+        np.zeros((0, 4), np.float32),
+        out_dir=tmp_path / "store",
+    )
+    assert store.num_items == 0
+
+
+def test_build_encoder_rejects_checkpoint_plus_config(tmp_path):
+    from news_recommendation_project_v2_tpu.cli.common import build_encoder
+    from news_recommendation_project_v2_tpu.config import EncoderConfig
+
+    # A checkpoint path WITHOUT config.json + an explicit config must raise
+    # (silent layer-dropping), not quietly build a truncated encoder.
+    (tmp_path / "ckpt").mkdir()
+    with pytest.raises(ValueError, match="not both"):
+        build_encoder(
+            tmp_path / "ckpt",
+            EncoderConfig(num_layers=2),
+            allow_hash_tokenizer=True,
+        )
+
+
+def test_sharded_flat_plan_caches_programs(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from news_recommendation_project_v2_tpu.config import MeshConfig, TowerConfig
+    from news_recommendation_project_v2_tpu.models import build_tower
+    from news_recommendation_project_v2_tpu.parallel import build_mesh
+    from news_recommendation_project_v2_tpu.parallel.flat_eval import (
+        ShardedFlatEvalPlan,
+    )
+
+    mesh = build_mesh(MeshConfig(data_size=8, model_size=1))
+    D = 16
+    hist_lens = rng.integers(1, 6, size=24)
+    hist_rev = rng.integers(0, 30, size=int(hist_lens.sum())).astype(np.int32)
+    cand_rev = rng.integers(0, 30, size=50).astype(np.int32)
+    cand_row = np.sort(rng.integers(0, 24, size=50)).astype(np.int32)
+    table = jnp.asarray(rng.standard_normal((30, D)), dtype=jnp.float32)
+    tower = build_tower(
+        TowerConfig(kind="latent", reduced_dim=D, num_latents=2, latent_dim_head=8)
+    )
+    params = jax.jit(
+        lambda: tower.init(jax.random.key(0), jnp.zeros((1, 4, D)), jnp.ones((1, 4)))
+    )()
+    plan = ShardedFlatEvalPlan(
+        mesh, hist_rev, hist_lens, cand_rev, cand_row, chunk_tokens=16, cand_chunk=8
+    )
+    s1 = plan.score(tower.apply, params, table)
+    assert len(plan._fns) == 1
+    s2 = plan.score(tower.apply, params, table)
+    assert len(plan._fns) == 1  # same compiled program reused
+    np.testing.assert_allclose(s1, s2)
