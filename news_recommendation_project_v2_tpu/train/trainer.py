@@ -722,6 +722,7 @@ class EndToEndTrainer:
         val_token_store=None,
         eval_each_epoch: bool = False,
         mesh=None,  # jax.sharding.Mesh: shard token states + batch over `data`
+        flat_eval: bool = False,  # token-local towers only
     ):
         assert len(compiled_train.hist_lens) == compiled_train.num_rows
         assert (compiled_val is None) == (val_token_store is None), (
@@ -740,6 +741,7 @@ class EndToEndTrainer:
         self.cv = compiled_val
         self.store_val = val_token_store
         self.eval_each_epoch = eval_each_epoch
+        self.flat_eval = flat_eval
         self._eval_tower_apply = lambda p, e, m: tower_apply(p["tower"], e, m)
         self.cfg = cfg
         self.log_dir = log_dir
@@ -868,6 +870,9 @@ class EndToEndTrainer:
             compiled.imp_rev[slots],
             cand_rows,
             batch_size=self.cfg.batch_size,
+            buckets=self.buckets,
+            flat_tokens=self.flat_eval,
+            flat_max_len=self.buckets[-1],  # see TowerTrainer._eval_split
         )
         return compose_final_scores(compiled, history_scores=scores).metrics
 
