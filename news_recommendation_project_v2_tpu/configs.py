@@ -197,6 +197,8 @@ def run_config2(
     trainer.train()
     news_emb = trainer.materialize_news_embeddings(batch_size=32)
     slots, cand_rows = history_candidate_slots(compiled)
+    from .config import HISTORY_BUCKETS
+
     scores = score_all_impressions(
         lambda p, e, m: tower.apply(p, e, m),
         trainer.params["tower"],
@@ -205,6 +207,8 @@ def run_config2(
         view.hist_lens,
         compiled.imp_rev[slots],
         cand_rows,
+        flat_tokens=True,  # latent tower: zero-padding fast path
+        flat_max_len=HISTORY_BUCKETS[-1],
     )
     return compose_final_scores(compiled, history_scores=scores).metrics
 
