@@ -54,7 +54,13 @@ def build_workload(rng):
     hist_rev = rng.integers(0, NUM_NEWS, size=int(hist_lens.sum())).astype(np.int32)
     cand_rev = rng.integers(0, NUM_NEWS, size=int(imp_lens.sum())).astype(np.int32)
     cand_row = np.repeat(np.arange(NUM_ROWS, dtype=np.int32), imp_lens)
-    return hist_lens, imp_lens, hist_rev, cand_rev, cand_row
+    # Click labels (>=1 positive and >=1 negative per impression) for the
+    # fused eval->metrics variant.
+    labels = (rng.random(len(cand_rev)) < 0.2).astype(np.float32)
+    offsets = np.concatenate([[0], np.cumsum(imp_lens)])
+    labels[offsets[:-1]] = 1.0
+    labels[offsets[1:] - 1] = 0.0
+    return hist_lens, imp_lens, hist_rev, cand_rev, cand_row, labels
 
 
 # ----------------------------------------------------------------------------
@@ -62,7 +68,7 @@ def build_workload(rng):
 # ----------------------------------------------------------------------------
 
 
-def bench_ours(hist_lens, hist_rev, cand_rev, cand_row):
+def bench_ours(hist_lens, imp_lens, hist_rev, cand_rev, cand_row, labels):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
@@ -122,6 +128,41 @@ def bench_ours(hist_lens, hist_rev, cand_rev, cand_row):
         log(f"run {i}: {times[-1]:.3f}s")
     best = min(times)
     assert np.isfinite(scores).all()
+
+    # Fused eval->metrics variant: the SAME tower+cosine pass plus on-device
+    # score composition and the full MIND metric suite, fetching five scalars
+    # instead of the 7.4MB score vector (eval/device_metrics.py). Strictly
+    # more work per impression; usually faster end to end because the fetch
+    # and per-call dispatch dominate the tail.
+    from news_recommendation_project_v2_tpu.eval.device_metrics import (
+        DeviceMetricsPlan,
+    )
+
+    mplan = DeviceMetricsPlan(
+        imp_lens, labels, hist_slots=np.arange(len(cand_rev), dtype=np.int64)
+    )
+
+    def run_metrics():
+        return plan.metrics(
+            apply, params_bf16, emb_dev, mplan, query_news_emb=emb_bf16
+        )
+
+    log("warmup (compiles the fused eval->metrics program)...")
+    t0 = time.perf_counter()
+    m = run_metrics()
+    log(f"warmup took {time.perf_counter() - t0:.1f}s; metrics: {m}")
+    mtimes = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        m = run_metrics()
+        mtimes.append(time.perf_counter() - t0)
+        log(f"metrics run {i}: {mtimes[-1]:.3f}s")
+    mbest = min(mtimes)
+    log(
+        f"score-fetch eval: {NUM_ROWS / best:,.0f} imp/s ({best:.3f}s); "
+        f"fused metrics eval: {NUM_ROWS / mbest:,.0f} imp/s ({mbest:.3f}s)"
+    )
+    best = min(best, mbest)
     return NUM_ROWS / best, best
 
 
@@ -216,12 +257,14 @@ def bench_reference_style(hist_lens, imp_lens, hist_rev, cand_rev, cand_row):
 
 def main():
     rng = np.random.default_rng(SEED)
-    hist_lens, imp_lens, hist_rev, cand_rev, cand_row = build_workload(rng)
+    hist_lens, imp_lens, hist_rev, cand_rev, cand_row, labels = build_workload(rng)
     log(
         f"workload: {NUM_ROWS} impressions, {NUM_NEWS} news, "
         f"{len(cand_rev)} candidate slots, {len(hist_rev)} history slots"
     )
-    ours_ips, ours_time = bench_ours(hist_lens, hist_rev, cand_rev, cand_row)
+    ours_ips, ours_time = bench_ours(
+        hist_lens, imp_lens, hist_rev, cand_rev, cand_row, labels
+    )
     log(f"ours: {ours_ips:,.0f} impressions/s ({ours_time:.3f}s for {NUM_ROWS})")
     base_ips = bench_reference_style(
         hist_lens, imp_lens, hist_rev, cand_rev, cand_row

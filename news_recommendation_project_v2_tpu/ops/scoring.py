@@ -625,6 +625,97 @@ class FlatEvalPlan:
         )
         return np.asarray(scores)[: self.num_slots]
 
+    def metrics(
+        self,
+        tower_apply: Callable,
+        params,
+        news_emb: jnp.ndarray,
+        metrics_plan,
+        query_news_emb: Optional[jnp.ndarray] = None,
+        normalize: bool = True,
+        alpha=None,
+    ) -> dict[str, float]:
+        """Fully-fused evaluation: one dispatch, fetch = five scalars. The
+        composed-score + metric semantics come from ``metrics_plan``
+        (``eval.device_metrics.DeviceMetricsPlan``), matching
+        ``eval.ranker.compose_final_scores(...).metrics`` exactly (tie-order
+        theorem in that module's docstring). ``alpha`` (traced blend weight)
+        overrides the plan's constant without a recompile."""
+        table_for_history = (
+            query_news_emb if query_news_emb is not None else news_emb
+        )
+        probe = _probe_out(tower_apply, params, table_for_history)
+        if alpha is None:
+            alpha = metrics_plan.alpha
+        if alpha is not None:
+            alpha = jnp.asarray(alpha, jnp.float32)
+        sums = _flat_metrics_program(
+            params,
+            news_emb,
+            table_for_history,
+            self.idx2d,
+            self.rows2d,
+            self.lens,
+            self.cand_rev2d,
+            self.cand_row2d,
+            metrics_plan.baseline,
+            metrics_plan.hist_slots,
+            metrics_plan.grids,
+            alpha,
+            tower_apply=tower_apply,
+            normalize=normalize,
+            out_dim=int(probe.shape[-1]),
+            num_slots=self.num_slots,
+        )
+        return metrics_plan.finalize(jax.device_get(sums))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tower_apply", "normalize", "out_dim", "num_slots"),
+)
+def _flat_metrics_program(
+    params,
+    news_emb,
+    query_table,
+    idx2d,
+    rows2d,
+    lens,
+    cand_rev2d,
+    cand_row2d,
+    baseline,
+    hist_slots,
+    grids,
+    alpha,
+    tower_apply: Callable,
+    normalize: bool,
+    out_dim: int,
+    num_slots: int,
+):
+    """Tower pass + cosine + score composition + MIND metrics as ONE program:
+    the eval fetches five scalars instead of the per-slot score vector (30MB at
+    MIND-large scale). The metric grids/composition constants arrive as
+    ARGUMENTS — closure-captured arrays would be constant-folded by XLA at
+    compile time (tens of seconds folding a grid-sized sort). ``alpha`` is an
+    optional TRACED blend scalar (None composes by overwrite)."""
+    from ..eval.device_metrics import compose_scores, metric_sums
+
+    scores = _flat_eval_body(
+        params,
+        news_emb,
+        query_table,
+        idx2d,
+        rows2d,
+        lens,
+        cand_rev2d,
+        cand_row2d,
+        tower_apply=tower_apply,
+        normalize=normalize,
+        out_dim=out_dim,
+    )[:num_slots]
+    full = compose_scores(baseline, hist_slots, scores, alpha=alpha)
+    return metric_sums(full, grids)
+
 
 def score_all_impressions_flat(
     tower_apply: Callable,

@@ -98,6 +98,58 @@ def _log_jsonl(log_dir: Optional[Path], fname: str, record: dict) -> None:
         f.write(json.dumps({"timestamp": datetime.now().isoformat(), **record}) + "\n")
 
 
+def _fused_eval_metrics(
+    plan_cache: dict,
+    eval_apply: Callable,
+    params,
+    compiled: CompiledBehaviors,
+    news_emb,
+    query_emb,
+    max_len: int,
+    baseline=None,
+    alpha=None,
+) -> dict[str, float]:
+    """Epoch eval through ``FlatEvalPlan.metrics``: ONE compiled program
+    (tower + cosine + score composition + MIND metrics), fetch = five scalars —
+    no per-slot score download. Plans (index grids, metric grids) are built
+    once per compiled set and cached in ``plan_cache`` across epochs.
+    Semantically identical to score_all_impressions(flat_tokens=True) +
+    compose_final_scores(...).metrics (tested, tests/test_device_metrics.py)."""
+    from ..eval.device_metrics import DeviceMetricsPlan
+    from ..ops.scoring import FlatEvalPlan, _auto_flat_chunk, _probe_out
+
+    plans = plan_cache.get(id(compiled))
+    if plans is None:
+        slots, cand_rows = history_candidate_slots(compiled)
+        table = query_emb if query_emb is not None else news_emb
+        probe = _probe_out(eval_apply, params, table)
+        fplan = FlatEvalPlan(
+            compiled.hist_rev,
+            compiled.hist_lens,
+            compiled.imp_rev[slots],
+            cand_rows,
+            chunk_tokens=_auto_flat_chunk(int(probe.shape[-1])),
+            max_len=max_len,
+        )
+        mplan = DeviceMetricsPlan(
+            compiled.imp_lens,
+            compiled.labels_flat,
+            hist_slots=slots,
+            baseline_slots=(
+                None
+                if baseline is None
+                else np.asarray(baseline, np.float32)[compiled.imp_rev]
+            ),
+        )
+        plans = (fplan, mplan)
+        plan_cache[id(compiled)] = plans
+    fplan, mplan = plans
+    return fplan.metrics(
+        eval_apply, params, news_emb, mplan, query_news_emb=query_emb,
+        alpha=alpha,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Attention-tower trainer
 # ---------------------------------------------------------------------------
@@ -130,6 +182,7 @@ class TowerTrainer:
         mesh=None,  # jax.sharding.Mesh: run train steps + eval data-parallel
         flat_eval: bool = False,  # token-local towers only (supports_flat_scoring)
         flat_train: bool = False,  # flat-token train step (token-local, margin)
+        device_metrics: bool = False,  # fused eval->metrics (flat_eval only)
     ):
         assert len(compiled_train.hist_lens) == compiled_train.num_rows, (
             "TowerTrainer needs a with-history view (every row must have history)"
@@ -167,6 +220,13 @@ class TowerTrainer:
 
         self.mesh = mesh
         self.flat_eval = flat_eval
+        self.device_metrics = device_metrics
+        self._fused_plans: dict = {}
+        if device_metrics:
+            assert flat_eval and mesh is None, (
+                "device_metrics rides the single-device fused flat eval "
+                "(FlatEvalPlan.metrics); token-local towers only"
+            )
         if mesh is not None:
             assert cfg.batch_size % mesh.shape["data"] == 0, (
                 f"batch_size {cfg.batch_size} must divide over the data axis "
@@ -384,9 +444,26 @@ class TowerTrainer:
     # Evaluation
     # ------------------------------------------------------------------
 
+    def _fused_metrics(
+        self, compiled, news_emb, query_emb, baseline=None, alpha=None
+    ) -> dict[str, float]:
+        return _fused_eval_metrics(
+            self._fused_plans,
+            self._eval_apply,
+            self.params,
+            compiled,
+            news_emb,
+            query_emb,
+            max_len=self.buckets[-1],  # match the padded/flat eval cap
+            baseline=baseline,
+            alpha=alpha,
+        )
+
     def _eval_split(
         self, compiled: CompiledBehaviors, news_emb, query_emb
     ) -> dict[str, float]:
+        if self.device_metrics:
+            return self._fused_metrics(compiled, news_emb, query_emb)
         slots, cand_rows = history_candidate_slots(compiled)
         scores = score_all_impressions(
             self._eval_apply,
@@ -645,6 +722,12 @@ class JointTowerTrainer(TowerTrainer):
                 if query_emb is not None
                 else None
             )
+        if self.device_metrics:
+            # alpha is a TRAINED blend weight — passed traced (no recompile).
+            return self._fused_metrics(
+                compiled, news_emb, query_emb,
+                baseline=baseline, alpha=self._alpha(),
+            )
         slots, cand_rows = history_candidate_slots(compiled)
         scores = score_all_impressions(
             self._eval_apply,
@@ -723,6 +806,7 @@ class EndToEndTrainer:
         eval_each_epoch: bool = False,
         mesh=None,  # jax.sharding.Mesh: shard token states + batch over `data`
         flat_eval: bool = False,  # token-local towers only
+        device_metrics: bool = False,  # fused eval->metrics (flat_eval only)
     ):
         assert len(compiled_train.hist_lens) == compiled_train.num_rows
         assert (compiled_val is None) == (val_token_store is None), (
@@ -742,6 +826,10 @@ class EndToEndTrainer:
         self.store_val = val_token_store
         self.eval_each_epoch = eval_each_epoch
         self.flat_eval = flat_eval
+        self.device_metrics = device_metrics
+        self._fused_plans: dict = {}
+        if device_metrics:
+            assert flat_eval, "device_metrics rides the fused flat eval"
         self._eval_tower_apply = lambda p, e, m: tower_apply(p["tower"], e, m)
         self.cfg = cfg
         self.log_dir = log_dir
@@ -860,6 +948,16 @@ class EndToEndTrainer:
         """Materialize the learned news embeddings for this split's corpus,
         then run the standard tower-over-histories scoring + MIND metrics."""
         emb = jnp.asarray(self.materialize_news_embeddings(store=store))
+        if self.device_metrics:
+            return _fused_eval_metrics(
+                self._fused_plans,
+                self._eval_tower_apply,
+                self.params,
+                compiled,
+                emb,
+                None,
+                max_len=self.buckets[-1],
+            )
         slots, cand_rows = history_candidate_slots(compiled)
         scores = score_all_impressions(
             self._eval_tower_apply,

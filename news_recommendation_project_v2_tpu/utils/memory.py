@@ -236,6 +236,20 @@ def estimate_e2e_unique_news(
     return _floor_multiple(budget // max(per_news, 1), 8)
 
 
+def estimate_metric_rows(
+    max_len: int,
+    hbm_budget_bytes: Optional[int] = None,
+    fraction: float = 0.125,
+) -> int:
+    """Row-chunk size for the on-device metric pass
+    (``eval.device_metrics``): the per-row live set is ~a dozen [L]-wide f32
+    temporaries (3-operand sort, tie-group cumulatives, gain vectors), floored
+    to a power of two so chunk shapes are stable across datasets."""
+    budget = _budget(hbm_budget_bytes, fraction)
+    per_row = 16 * 4 * max(max_len, 1)
+    return _floor_pow2(budget // max(per_row, 1), lo=64)
+
+
 def estimate_head_batch(
     in_dim: int,
     hidden_dim: int = 4096,
