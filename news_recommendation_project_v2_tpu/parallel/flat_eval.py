@@ -82,6 +82,7 @@ class ShardedFlatEvalPlan:
         # recoverable per row group); history_candidate_slots already emits
         # row-major slots, in which case this sort is the identity.
         order = np.argsort(cand_row, kind="stable")
+        self._order = order
         self._unsort = np.empty_like(order)
         self._unsort[order] = np.arange(len(order))
         cand_rev = cand_rev[order]
@@ -91,6 +92,8 @@ class ShardedFlatEvalPlan:
         offsets = lengths_to_offsets(hist_lens)
         cand_bounds = np.searchsorted(cand_row_sorted, bounds, side="left")
         self.num_slots = len(cand_rev)
+        self._bounds = bounds
+        self._cand_bounds = cand_bounds
         self._cand_counts = np.diff(cand_bounds)
 
         # Per-device flat token streams / local rows / local candidate slots,
