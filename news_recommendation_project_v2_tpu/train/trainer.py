@@ -108,13 +108,17 @@ def _fused_eval_metrics(
     max_len: int,
     baseline=None,
     alpha=None,
+    mesh=None,
 ) -> dict[str, float]:
     """Epoch eval through ``FlatEvalPlan.metrics``: ONE compiled program
     (tower + cosine + score composition + MIND metrics), fetch = five scalars —
-    no per-slot score download. Plans (index grids, metric grids) are built
-    once per compiled set and cached in ``plan_cache`` across epochs.
-    Semantically identical to score_all_impressions(flat_tokens=True) +
-    compose_final_scores(...).metrics (tested, tests/test_device_metrics.py)."""
+    no per-slot score download. With a ``mesh``, routes through the
+    zero-communication sharded plans (``parallel.flat_eval``) instead — the
+    whole eval's cross-device traffic is one 5-scalar psum. Plans (index
+    grids, metric grids) are built once per compiled set and cached in
+    ``plan_cache`` across epochs. Semantically identical to
+    score_all_impressions(flat_tokens=True) + compose_final_scores(...).metrics
+    (tested, tests/test_device_metrics.py)."""
     from ..eval.device_metrics import DeviceMetricsPlan
     from ..ops.scoring import FlatEvalPlan, _auto_flat_chunk, _probe_out
 
@@ -123,24 +127,49 @@ def _fused_eval_metrics(
         slots, cand_rows = history_candidate_slots(compiled)
         table = query_emb if query_emb is not None else news_emb
         probe = _probe_out(eval_apply, params, table)
-        fplan = FlatEvalPlan(
-            compiled.hist_rev,
-            compiled.hist_lens,
-            compiled.imp_rev[slots],
-            cand_rows,
-            chunk_tokens=_auto_flat_chunk(int(probe.shape[-1])),
-            max_len=max_len,
+        baseline_slots = (
+            None
+            if baseline is None
+            else np.asarray(baseline, np.float32)[compiled.imp_rev]
         )
-        mplan = DeviceMetricsPlan(
-            compiled.imp_lens,
-            compiled.labels_flat,
-            hist_slots=slots,
-            baseline_slots=(
-                None
-                if baseline is None
-                else np.asarray(baseline, np.float32)[compiled.imp_rev]
-            ),
-        )
+        if mesh is None:
+            fplan = FlatEvalPlan(
+                compiled.hist_rev,
+                compiled.hist_lens,
+                compiled.imp_rev[slots],
+                cand_rows,
+                chunk_tokens=_auto_flat_chunk(int(probe.shape[-1])),
+                max_len=max_len,
+            )
+            mplan = DeviceMetricsPlan(
+                compiled.imp_lens,
+                compiled.labels_flat,
+                hist_slots=slots,
+                baseline_slots=baseline_slots,
+            )
+        else:
+            from ..parallel.flat_eval import (
+                ShardedFlatEvalPlan,
+                ShardedMetricsPlan,
+            )
+
+            fplan = ShardedFlatEvalPlan(
+                mesh,
+                compiled.hist_rev,
+                compiled.hist_lens,
+                compiled.imp_rev[slots],
+                cand_rows,
+                chunk_tokens=_auto_flat_chunk(int(probe.shape[-1])),
+                max_len=max_len,
+            )
+            # Trainers require with-history views: impression i == row i.
+            mplan = ShardedMetricsPlan(
+                fplan,
+                compiled.imp_lens,
+                compiled.labels_flat,
+                hist_slots=slots,
+                baseline_slots=baseline_slots,
+            )
         plans = (fplan, mplan)
         plan_cache[id(compiled)] = plans
     fplan, mplan = plans
@@ -223,9 +252,10 @@ class TowerTrainer:
         self.device_metrics = device_metrics
         self._fused_plans: dict = {}
         if device_metrics:
-            assert flat_eval and mesh is None, (
-                "device_metrics rides the single-device fused flat eval "
-                "(FlatEvalPlan.metrics); token-local towers only"
+            assert flat_eval, (
+                "device_metrics rides the fused flat eval (FlatEvalPlan."
+                "metrics / ShardedFlatEvalPlan.metrics); token-local towers "
+                "only"
             )
         if mesh is not None:
             assert cfg.batch_size % mesh.shape["data"] == 0, (
@@ -457,6 +487,7 @@ class TowerTrainer:
             max_len=self.buckets[-1],  # match the padded/flat eval cap
             baseline=baseline,
             alpha=alpha,
+            mesh=self.mesh,
         )
 
     def _eval_split(
@@ -957,6 +988,7 @@ class EndToEndTrainer:
                 emb,
                 None,
                 max_len=self.buckets[-1],
+                mesh=self.mesh,
             )
         slots, cand_rows = history_candidate_slots(compiled)
         scores = score_all_impressions(

@@ -274,3 +274,103 @@ def test_single_class_row_raises(rng):
     flat = rng.random(5).astype(np.float32)
     with pytest.raises(ValueError, match="single label class"):
         metrics_from_flat_scores(flat, imp_lens, labels)
+
+
+# ---------------------------------------------------------------------------
+# Sharded zero-fetch metrics (virtual 8-device mesh)
+# ---------------------------------------------------------------------------
+
+
+def _mesh():
+    import jax
+
+    from news_recommendation_project_v2_tpu.config import MeshConfig
+    from news_recommendation_project_v2_tpu.parallel import build_mesh
+
+    assert jax.device_count() == 8
+    return build_mesh(MeshConfig(data_size=4, model_size=2))
+
+
+def test_sharded_metrics_with_history_view(rng):
+    """ShardedFlatEvalPlan.metrics (per-device composition + metric partial
+    sums + one 5-scalar psum) == host compose+score on a with-history view."""
+    from news_recommendation_project_v2_tpu.parallel.flat_eval import (
+        ShardedFlatEvalPlan,
+        ShardedMetricsPlan,
+    )
+
+    c, emb = _learnable()
+    tower, params = _small_tower()
+    slots, cand_rows = history_candidate_slots(c)
+    plan = ShardedFlatEvalPlan(
+        _mesh(), c.hist_rev, c.hist_lens, c.imp_rev[slots], cand_rows,
+        chunk_tokens=32, cand_chunk=16,
+    )
+    scores = plan.score(tower.apply, params, emb)
+    expected = compose_final_scores(c, history_scores=scores).metrics
+    mplan = ShardedMetricsPlan(
+        plan, c.imp_lens, c.labels_flat, hist_slots=slots, row_chunk=4
+    )
+    got = plan.metrics(tower.apply, params, emb, mplan)
+    assert got["num_samples"] == expected["num_samples"]
+    for k in ("auc", "mrr", "ndcg5", "ndcg10"):
+        np.testing.assert_allclose(got[k], expected[k], atol=2e-5)
+
+
+def test_mesh_trainer_device_metrics_equals_host():
+    """TowerTrainer(mesh=..., device_metrics=True): the zero-fetch sharded
+    epoch eval == the host pipeline."""
+    import jax
+
+    from news_recommendation_project_v2_tpu.config import TrainConfig
+    from news_recommendation_project_v2_tpu.train import TowerTrainer
+
+    c, emb = _learnable()
+    tower, params = _small_tower()
+    trainer = TowerTrainer(
+        tower.apply, params, c, emb,
+        cfg=TrainConfig(num_epochs=1, batch_size=64, seed=0),
+        mesh=_mesh(), flat_eval=True, device_metrics=True,
+    )
+    fused = trainer._eval_split(c, trainer.news_emb_train, trainer.query_train)
+    trainer.device_metrics = False
+    host = trainer._eval_split(c, trainer.news_emb_train, trainer.query_train)
+    assert fused["num_samples"] == host["num_samples"]
+    for k in ("auc", "mrr", "ndcg5", "ndcg10"):
+        np.testing.assert_allclose(fused[k], host[k], atol=2e-5)
+
+
+def test_sharded_metrics_general_baseline_alpha(rng):
+    """General case: no-history impressions (baseline-only, round-robin
+    assigned), a classification baseline, and a traced alpha blend."""
+    from news_recommendation_project_v2_tpu.parallel.flat_eval import (
+        ShardedFlatEvalPlan,
+        ShardedMetricsPlan,
+    )
+
+    c = _make_compiled(rng, rows=60)
+    emb = jnp.asarray(synthetic_news_embeddings(c.num_news, D))
+    tower, params = _small_tower()
+    slots, cand_rows = history_candidate_slots(c)
+    base = rng.random(c.num_news).astype(np.float32)
+    alpha = 0.35
+
+    plan = ShardedFlatEvalPlan(
+        _mesh(), c.hist_rev, c.hist_lens, c.imp_rev[slots], cand_rows,
+        chunk_tokens=32, cand_chunk=16,
+    )
+    scores = plan.score(tower.apply, params, emb)
+    expected = compose_final_scores(
+        c, history_scores=scores, baseline_scores=base, alpha=alpha
+    ).metrics
+
+    subset_pos = np.cumsum(c.has_history) - 1
+    imp_rows = np.where(c.has_history, subset_pos, -1)
+    mplan = ShardedMetricsPlan(
+        plan, c.imp_lens, c.labels_flat, hist_slots=slots,
+        imp_rows=imp_rows, baseline_slots=base[c.imp_rev], row_chunk=4,
+    )
+    got = plan.metrics(tower.apply, params, emb, mplan, alpha=alpha)
+    assert got["num_samples"] == expected["num_samples"]
+    for k in ("auc", "mrr", "ndcg5", "ndcg10"):
+        np.testing.assert_allclose(got[k], expected[k], atol=2e-5)
