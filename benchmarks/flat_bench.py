@@ -31,7 +31,7 @@ from news_recommendation_project_v2_tpu.ops.scoring import (
 def main():
     chunks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [131072]
     rng = np.random.default_rng(SEED)
-    hist_lens, imp_lens, hist_rev, cand_rev, cand_row = build_workload(rng)
+    hist_lens, imp_lens, hist_rev, cand_rev, cand_row, _ = build_workload(rng)
     log(
         f"workload: {NUM_ROWS} rows, {len(hist_rev)} history tokens, "
         f"{len(cand_rev)} candidate slots"

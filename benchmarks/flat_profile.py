@@ -35,7 +35,7 @@ def timeit(name, fn, n=3):
 
 def main():
     rng = np.random.default_rng(SEED)
-    hist_lens, _, hist_rev, _, _ = build_workload(rng)
+    hist_lens, _, hist_rev, _, _, _ = build_workload(rng)
     tower = build_tower(TowerConfig(kind="latent"))
     params = jax.jit(
         lambda: tower.init(

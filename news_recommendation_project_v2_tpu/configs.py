@@ -138,6 +138,7 @@ def run_config1(
         cfg=train_cfg,
         flat_train=flat and train_cfg.loss == "margin",
         flat_eval=flat,
+        device_metrics=flat,  # epoch evals fused to 5-scalar fetches
     )
     history = trainer.train()
     last = history[-1]
@@ -196,21 +197,20 @@ def run_config2(
     )
     trainer.train()
     news_emb = trainer.materialize_news_embeddings(batch_size=32)
-    slots, cand_rows = history_candidate_slots(compiled)
     from .config import HISTORY_BUCKETS
+    from .train.trainer import _fused_eval_metrics
 
-    scores = score_all_impressions(
+    # Final impression scoring through the fused flat eval->metrics program
+    # (latent tower: zero-padding fast path; metrics computed on device).
+    return _fused_eval_metrics(
+        {},
         lambda p, e, m: tower.apply(p, e, m),
         trainer.params["tower"],
+        compiled,
         jnp.asarray(news_emb),
-        view.hist_rev,
-        view.hist_lens,
-        compiled.imp_rev[slots],
-        cand_rows,
-        flat_tokens=True,  # latent tower: zero-padding fast path
-        flat_max_len=HISTORY_BUCKETS[-1],
+        None,
+        max_len=HISTORY_BUCKETS[-1],
     )
-    return compose_final_scores(compiled, history_scores=scores).metrics
 
 
 def run_config3(
@@ -227,6 +227,7 @@ def run_config3(
     ``train_cfg.num_epochs`` epochs with per-epoch MIND metrics; returns the
     final epoch's val (or train) metrics. The metrics equal the single-device
     run's (tests/test_sharding.py::test_mesh_trainer_full_run_matches_single_device)."""
+    from .models import supports_flat_scoring
     from .parallel import build_mesh
     from .train.trainer import TowerTrainer
 
@@ -253,6 +254,10 @@ def run_config3(
         ),
         cfg=train_cfg,
         mesh=mesh,
+        flat_eval=supports_flat_scoring(tower_cfg),
+        # Zero-fetch sharded epoch evals: tower+cosine+composition+metrics per
+        # device, one 5-scalar psum across them (parallel.flat_eval).
+        device_metrics=supports_flat_scoring(tower_cfg),
     )
     history = trainer.train()
     last = history[-1]

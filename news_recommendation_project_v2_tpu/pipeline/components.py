@@ -355,6 +355,7 @@ class AttentionComponent(_TowerComponentBase):
             exp_name=self.exp_name,
             flat_train=self._flat() and self.cfg.loss == "margin",
             flat_eval=self._flat(),
+            device_metrics=self._flat(),  # epoch evals fused to 5-scalar fetches
             **({} if self.buckets is None else {"buckets": self.buckets}),
         )
         trainer.train()
