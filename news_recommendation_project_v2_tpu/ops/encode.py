@@ -64,8 +64,9 @@ def encode_corpus(
         from ..utils.memory import estimate_encoder_batch
 
         assert encoder_config is not None, "batch_size=None needs encoder_config"
+        # Cap at ~128k tokens/program (see encode_corpus_bucketed).
         batch_size = min(
-            1024,
+            max(1024, 131072 // token_ids.shape[1]),
             estimate_encoder_batch(encoder_config, length=token_ids.shape[1]),
         )
     n = token_ids.shape[0]
@@ -79,6 +80,79 @@ def encode_corpus(
     return out[:n]
 
 
+def encode_corpus_bucketed(
+    encoder_apply: Callable,
+    params,
+    token_ids: np.ndarray,  # [N, T]
+    token_mask: np.ndarray,  # [N, T]
+    buckets: tuple[int, ...] = (32, 64, 128, 256, 512),
+    batch_size: Optional[int] = None,
+    encoder_config=None,
+) -> jax.Array:
+    """Length-bucketed corpus encode: rows are grouped by token count into the
+    smallest sufficient static length bucket and each group runs through
+    ``encode_corpus`` at that width, so short texts (MIND title-only news is
+    ~15-30 tokens, reference ``data_utils.py:436``) never pay full-width
+    encoder FLOPs. The reference gets this effect from pad-to-batch-max
+    tokenization (``data_utils.py:471-482``) at the cost of dynamic shapes;
+    static buckets keep XLA happy while recovering the same ~5-20x saving.
+
+    The input width T is always appended as the final bucket, so no row is ever
+    truncated relative to ``encode_corpus`` on the same arrays. Padded-key
+    attention contributions are exactly zero (masked softmax), so per-row
+    results match the unbucketed path to float-associativity.
+
+    ``batch_size=None`` + ``encoder_config`` sizes each bucket's batch from the
+    analytic memory model at that bucket's length (longer rows -> smaller
+    batches), keeping HBM use flat across buckets.
+    """
+    n, T = token_ids.shape
+    if n == 0:
+        return encode_corpus(
+            encoder_apply, params, token_ids, token_mask, batch_size or 8,
+            encoder_config,
+        )
+    lengths = np.asarray(token_mask).sum(axis=1).astype(np.int64)
+    widths = tuple(sorted({int(b) for b in buckets if 0 < b < T})) + (T,)
+    # Smallest bucket that fits each row.
+    assignment = np.searchsorted(np.asarray(widths), lengths, side="left")
+    out: Optional[jax.Array] = None
+    for bi, width in enumerate(widths):
+        rows = np.nonzero(assignment == bi)[0]
+        if len(rows) == 0:
+            continue
+        if batch_size is None and encoder_config is not None:
+            from ..utils.memory import estimate_encoder_batch
+
+            # Cap so batch*width stays ~128k tokens/program: narrow buckets
+            # need large batches to keep the MXU fed (measured: width-32 at
+            # batch 1024 runs ~2x under the width-128 rate), while the cap
+            # keeps compile sizes and pad waste bounded.
+            bs = min(
+                max(1024, 131072 // width),
+                estimate_encoder_batch(encoder_config, length=width),
+            )
+        else:
+            bs = batch_size or 256
+        # Small buckets shouldn't pad up to a huge batch; cap at the next
+        # power of two >= the group size (powers of two keep the set of
+        # compiled (batch, width) programs bounded across calls).
+        bs = max(8, min(bs, 1 << (len(rows) - 1).bit_length()))
+        emb = encode_corpus(
+            encoder_apply,
+            params,
+            np.ascontiguousarray(token_ids[rows, :width]),
+            np.ascontiguousarray(token_mask[rows, :width]),
+            bs,
+            encoder_config,
+        )
+        if out is None:
+            out = jnp.zeros((n, emb.shape[1]), emb.dtype)
+        out = out.at[jnp.asarray(rows)].set(emb)
+    assert out is not None
+    return out
+
+
 def encode_query_and_passage(
     encoder_apply: Callable,
     params,
@@ -87,14 +161,26 @@ def encode_query_and_passage(
     query_instruction: str,
     batch_size: Optional[int] = 256,
     encoder_config=None,
+    buckets: Optional[tuple[int, ...]] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """The e5 dual encode (reference ``data_model_helper.py:59-80``): passage
-    embeddings from raw text, query embeddings from instruction-prefixed text."""
+    embeddings from raw text, query embeddings from instruction-prefixed text.
+    ``buckets`` routes through :func:`encode_corpus_bucketed` (length-grouped
+    static shapes — the TPU answer to the reference's pad-to-batch-max)."""
     ids, mask = tokenize(texts)
+    q_ids, q_mask = tokenize([query_instruction + t for t in texts])
+    if buckets is not None:
+        passage = encode_corpus_bucketed(
+            encoder_apply, params, ids, mask, buckets, batch_size, encoder_config
+        )
+        query = encode_corpus_bucketed(
+            encoder_apply, params, q_ids, q_mask, buckets, batch_size,
+            encoder_config,
+        )
+        return query, passage
     passage = encode_corpus(
         encoder_apply, params, ids, mask, batch_size, encoder_config
     )
-    q_ids, q_mask = tokenize([query_instruction + t for t in texts])
     query = encode_corpus(
         encoder_apply, params, q_ids, q_mask, batch_size, encoder_config
     )
@@ -303,6 +389,7 @@ def build_token_store(
     batch_size: int = 64,
     out_dir: Optional[Path] = None,
     store_dtype=np.float32,
+    token_buckets: Optional[tuple[int, ...]] = (32, 64, 128, 256, 512),
 ) -> TokenStore:
     """Run the encoder WITHOUT pooling and store mask-trimmed token states
     (reference ``store_text_embed_full_eval``, ``modeling_utils.py:456-473``).
@@ -312,19 +399,36 @@ def build_token_store(
     states exceed host RAM build without ever materializing in memory; the
     returned store reads back through the memmap. ``store_dtype=np.float16``
     halves the footprint (the reference's fp16-weights path persists fp16
-    states too, ``modeling_utils.py:98,463``)."""
-    n = token_ids.shape[0]
-    lens = token_mask.sum(axis=1).astype(np.int64)
+    states too, ``modeling_utils.py:98,463``).
+
+    ``token_buckets`` groups rows by token count into static length buckets so
+    short news never pay full-width encoder FLOPs (the stored trimmed states
+    are identical either way — padded positions are mask-inert; see
+    ``encode_corpus_bucketed``). ``None`` keeps the single fixed-width pass."""
+    n, width = token_ids.shape
+    lens = np.asarray(token_mask).sum(axis=1).astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(lens)])
+
+    if token_buckets is not None and n > 0:
+        widths = tuple(
+            sorted({int(b) for b in token_buckets if 0 < b < width})
+        ) + (width,)
+        assignment = np.searchsorted(np.asarray(widths), lens, side="left")
+        row_order = np.argsort(assignment, kind="stable")
+        row_widths = np.asarray(widths)[assignment]
+    else:
+        row_order = np.arange(n)
+        row_widths = np.full(n, width, np.int64)
 
     hidden_dim: Optional[int] = None
     states = None  # allocated lazily once D is known from the first batch
-    arrays: list[np.ndarray] = []
+    arrays: list[Optional[np.ndarray]] = [None] * n
     for start in range(0, n, batch_size):
-        stop = min(start + batch_size, n)
-        pad = batch_size - (stop - start)
-        ids_b = np.pad(token_ids[start:stop], ((0, pad), (0, 0)))
-        mask_b = np.pad(token_mask[start:stop], ((0, pad), (0, 0)))
+        rows = row_order[start : start + batch_size]
+        w = int(row_widths[rows].max())
+        pad = batch_size - len(rows)
+        ids_b = np.pad(np.ascontiguousarray(token_ids[rows, :w]), ((0, pad), (0, 0)))
+        mask_b = np.pad(np.ascontiguousarray(token_mask[rows, :w]), ((0, pad), (0, 0)))
         hidden = np.asarray(
             _hidden_batch(
                 encoder_hidden_apply, params, jnp.asarray(ids_b), jnp.asarray(mask_b)
@@ -340,14 +444,14 @@ def build_token_store(
                 dtype=store_dtype,
                 shape=(int(offsets[-1]), hidden_dim),
             )
-        for j in range(stop - start):
-            ln = int(lens[start + j])
+        for j, row in enumerate(rows):
+            ln = int(lens[row])
             trimmed = hidden[j, :ln].astype(store_dtype)
             if states is not None:
-                a = int(offsets[start + j])
+                a = int(offsets[row])
                 states[a : a + ln] = trimmed
             else:
-                arrays.append(trimmed)
+                arrays[row] = trimmed
     if out_dir is not None:
         if states is None:  # empty corpus: write a valid, empty store
             out_dir = Path(out_dir)

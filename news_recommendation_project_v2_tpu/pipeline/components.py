@@ -87,6 +87,7 @@ class EmbeddingsComponent(PipelineComponent):
         query_instruction: str,
         batch_size: Optional[int] = 256,
         encoder_config=None,  # enables batch_size=None analytic auto-sizing
+        token_buckets: Optional[tuple[int, ...]] = (32, 64, 128, 256, 512),
     ):
         self.encoder_apply = encoder_apply
         self.encoder_params = encoder_params
@@ -94,6 +95,7 @@ class EmbeddingsComponent(PipelineComponent):
         self.query_instruction = query_instruction
         self.batch_size = batch_size
         self.encoder_config = encoder_config
+        self.token_buckets = token_buckets
 
     def transform(self, context):
         from ..ops.encode import encode_query_and_passage
@@ -108,6 +110,7 @@ class EmbeddingsComponent(PipelineComponent):
             self.query_instruction,
             self.batch_size,
             self.encoder_config,
+            buckets=self.token_buckets,
         )
         context["news_embeddings"] = np.asarray(passage)
         context["query_news_embeddings"] = np.asarray(query)

@@ -17,6 +17,7 @@ from news_recommendation_project_v2_tpu.ops.encode import (
     TokenStore,
     build_token_store,
     encode_corpus,
+    encode_corpus_bucketed,
     encode_query_and_passage,
     load_embeddings,
     save_embeddings,
@@ -61,6 +62,34 @@ def test_padding_invariance(tiny_encoder):
     o1 = jax.jit(enc.apply)(params, jnp.asarray(ids), jnp.asarray(mask))
     o2 = jax.jit(enc.apply)(params, jnp.asarray(ids2), jnp.asarray(mask2))
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_bucketed_encode_matches_fixed_width(tiny_encoder):
+    """Length-bucketed corpus encode must equal the fixed-width encode row for
+    row (the bucketing only changes the amount of masked padding, which is
+    inert by construction — see test_padding_invariance)."""
+    enc, tok, params = tiny_encoder
+    rng = np.random.default_rng(0)
+    texts = [
+        " ".join(f"w{rng.integers(100)}" for _ in range(int(n)))
+        for n in rng.integers(1, 30, size=37)
+    ]
+    ids, mask = tok(texts, max_length=32)
+    apply = lambda p, i, m: enc.apply(p, i, m)
+    fixed = np.asarray(encode_corpus(apply, params, ids, mask, batch_size=8))
+    bucketed = np.asarray(
+        encode_corpus_bucketed(
+            apply, params, ids, mask, buckets=(4, 8, 16), batch_size=8
+        )
+    )
+    np.testing.assert_allclose(bucketed, fixed, atol=2e-5)
+    # Auto-sized per-bucket batches (analytic memory model) take the same path.
+    auto = np.asarray(
+        encode_corpus_bucketed(
+            apply, params, ids, mask, buckets=(8,), encoder_config=TINY
+        )
+    )
+    np.testing.assert_allclose(auto, fixed, atol=2e-5)
 
 
 def test_hf_conversion_parity():
@@ -169,3 +198,27 @@ def test_build_token_store(tiny_encoder):
     store = build_token_store(hidden_apply, params, ids, mask, batch_size=2)
     assert store.num_items == 2
     assert store.lengths().tolist() == [int(mask[0].sum()), int(mask[1].sum())]
+
+
+def test_build_token_store_bucketed_matches_fixed(tiny_encoder):
+    """Length-bucketed token-store builds must store the exact same trimmed
+    states as the fixed-width pass, in the same row order."""
+    enc, tok, params = tiny_encoder
+    rng = np.random.default_rng(1)
+    texts = [
+        " ".join(f"w{rng.integers(100)}" for _ in range(int(n)))
+        for n in rng.integers(1, 14, size=13)
+    ]
+    ids, mask = tok(texts, max_length=16)
+
+    def hidden_apply(p, i, m):
+        return enc.apply(p, i, m, method="hidden_states")
+
+    fixed = build_token_store(
+        hidden_apply, params, ids, mask, batch_size=4, token_buckets=None
+    )
+    bucketed = build_token_store(
+        hidden_apply, params, ids, mask, batch_size=4, token_buckets=(4, 8)
+    )
+    assert bucketed.offsets.tolist() == fixed.offsets.tolist()
+    np.testing.assert_allclose(bucketed.states, fixed.states, atol=2e-5)
