@@ -1,0 +1,146 @@
+"""Serving-CLI tests: artifact loading (build_ranker), request dispatch, the
+HTTP server, and the stdio JSONL loop — all against the library Ranker as the
+oracle."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_recommendation_project_v2_tpu.cli.serve import (
+    build_ranker,
+    dispatch,
+    make_server,
+    serve_stdio,
+)
+from news_recommendation_project_v2_tpu.config import TowerConfig
+from news_recommendation_project_v2_tpu.models.pooling import average_pool
+from news_recommendation_project_v2_tpu.ops.encode import save_embeddings
+from news_recommendation_project_v2_tpu.serve import Ranker
+
+D = 16
+N = 20
+
+
+@pytest.fixture
+def emb_dir(tmp_path, rng):
+    emb = rng.standard_normal((N, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = np.array([f"N{i}" for i in range(N)])
+    save_embeddings(tmp_path, "dev", emb, query_embeddings=emb, news_ids=ids)
+    return tmp_path, emb, [str(i) for i in ids]
+
+
+def test_build_ranker_meanpool_matches_library(emb_dir):
+    path, emb, ids = emb_dir
+    r = build_ranker(path, "dev")
+    oracle = Ranker(lambda p, e, m: average_pool(e, m), None, emb, ids)
+    got = r.rank(["N0", "N3"], ["N1", "N2", "N5"])
+    want = oracle.rank(["N0", "N3"], ["N1", "N2", "N5"])
+    assert [c for c, _ in got] == [c for c, _ in want]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in want], atol=1e-6)
+
+
+def test_build_ranker_requires_id_keyed_dump(tmp_path, rng):
+    emb = rng.standard_normal((4, D)).astype(np.float32)
+    save_embeddings(tmp_path, "dev", emb)  # positional-only dump
+    with pytest.raises(FileNotFoundError, match="id-keyed"):
+        build_ranker(tmp_path, "dev")
+
+
+def test_build_ranker_restores_tower_checkpoint(emb_dir, tmp_path):
+    from news_recommendation_project_v2_tpu.models import build_tower
+    from news_recommendation_project_v2_tpu.train.checkpoint import save_pytree
+
+    path, emb, ids = emb_dir
+    cfg = TowerConfig(
+        kind="latent", embedding_dim=D, reduced_dim=D, hidden_dim=4 * D,
+        num_latents=4, latent_dim_head=8,
+    )
+    tower = build_tower(cfg)
+    params = tower.init(jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+    ckpt = tmp_path / "ckpt" / "Best_model_x"
+    save_pytree(ckpt, params)
+
+    r = build_ranker(path, "dev", ckpt=ckpt, tower_config=cfg)
+    oracle = Ranker(lambda p, e, m: tower.apply(p, e, m), params, emb, ids,
+                    query_news_emb=emb)
+    got = r.rank(["N0", "N3"], ["N1", "N2"])
+    want = oracle.rank(["N0", "N3"], ["N1", "N2"])
+    assert [c for c, _ in got] == [c for c, _ in want]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in want], atol=1e-5)
+
+
+def test_dispatch_ops_and_json_safety(emb_dir):
+    path, emb, ids = emb_dir
+    r = build_ranker(path, "dev")
+    out = dispatch(r, "rank", {"history": ["N0"], "candidates": ["N1", "NOPE"]})
+    assert out["ranked"][-1] == ["NOPE", None]  # -inf -> null, still last
+    json.dumps(out)  # strictly serializable
+    out = dispatch(r, "retrieve", {"history": ["N0"], "k": 3})
+    assert len(out["ranked"]) == 3 and out["ranked"][0][0] == "N0"
+    out = dispatch(
+        r,
+        "rank_batch",
+        {"requests": [
+            {"history": ["N0"], "candidates": ["N1", "N2"]},
+            {"history": ["N3", "N4"], "candidates": ["N5", "N6", "N7"]},
+        ]},
+    )
+    assert len(out["results"]) == 2 and len(out["results"][1]) == 3
+    with pytest.raises(ValueError, match="unknown op"):
+        dispatch(r, "nope", {})
+
+
+def test_http_server_roundtrip(emb_dir):
+    path, _, _ = emb_dir
+    r = build_ranker(path, "dev")
+    server = make_server(r, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+            assert json.loads(resp.read())["news"] == N
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rank",
+            data=json.dumps(
+                {"history": ["N0"], "candidates": ["N1", "N2", "N0"]}
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            ranked = json.loads(resp.read())["ranked"]
+        assert ranked[0][0] == "N0"  # history item is its own best match
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rank", data=b"{}", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad)
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_stdio_jsonl_loop(emb_dir):
+    path, _, _ = emb_dir
+    r = build_ranker(path, "dev")
+    stdin = io.StringIO(
+        json.dumps({"op": "retrieve", "history": ["N0"], "k": 2}) + "\n"
+        + "\n"  # blank lines are skipped
+        + json.dumps({"op": "bogus"}) + "\n"
+    )
+    stdout = io.StringIO()
+    serve_stdio(r, stdin=stdin, stdout=stdout)
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["ranked"][0][0] == "N0"
+    assert "unknown op" in lines[1]["error"]
