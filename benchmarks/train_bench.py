@@ -2,7 +2,8 @@
 bench.py): pairs/second through the jitted margin-ranking step with the
 full-size latent tower on the available accelerator.
 
-    python benchmarks/train_bench.py [bfloat16|float32]
+    python benchmarks/train_bench.py [bfloat16|float32]         # padded step
+    python benchmarks/train_bench.py flat [B ...]               # flat-token step sweep
 """
 
 from __future__ import annotations
@@ -73,5 +74,73 @@ def main():
     )
 
 
+def main_flat(batches=(512, 1024, 2048)):
+    """Flat-token step (zero-padding trick applied to training) at MIND-like
+    geometric history lengths, swept over pair-batch sizes."""
+    print(f"backend: {jax.default_backend()}, mode=flat", file=sys.stderr)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from news_recommendation_project_v2_tpu.train.step import (
+        make_tower_train_step_flat,
+    )
+
+    tower = build_tower(TowerConfig(kind="latent"))
+    cfg = TrainConfig()
+    params0 = jax.jit(
+        lambda: tower.init(jax.random.key(0), jnp.zeros((1, L, DIM)), jnp.ones((1, L)))
+    )()
+    optimizer = make_optimizer(cfg)
+    step = jax.jit(
+        make_tower_train_step_flat(tower.apply, optimizer, cfg.margin),
+        donate_argnums=(0, 1),
+    )
+    emb = jax.jit(lambda k: jax.random.normal(k, (NUM_NEWS, DIM)))(jax.random.key(0))
+    rng = np.random.default_rng(0)
+
+    for B in batches:
+        # MIND-like geometric history lengths (mean ~29, capped at 600) on
+        # deduped rows (U = B here: worst case, no dedup win).
+        lens = np.clip(rng.geometric(1 / 29.0, size=B), 1, 600).astype(np.int64)
+        total = int(lens.sum())
+        T = max(1024, 1 << int(np.ceil(np.log2(total))))
+        tok_idx = np.zeros(T, np.int32)
+        tok_idx[:total] = rng.integers(0, NUM_NEWS, total)
+        tok_rows = np.full(T, B, np.int32)
+        tok_rows[:total] = np.repeat(np.arange(B, dtype=np.int32), lens)
+        args = tuple(
+            map(
+                jnp.asarray,
+                (
+                    tok_idx,
+                    tok_rows,
+                    lens.astype(np.float32),
+                    rng.integers(0, B, B).astype(np.int32),
+                    rng.integers(0, NUM_NEWS, B).astype(np.int32),
+                    rng.integers(0, NUM_NEWS, B).astype(np.int32),
+                    np.ones(B, np.float32),
+                ),
+            )
+        )
+        params = jax.tree.map(jnp.copy, params0)
+        opt_state = jax.jit(optimizer.init)(params)
+        key = jax.random.key(1)
+        params, opt_state, loss = step(params, opt_state, emb, emb, *args, key)
+        float(loss)  # compile + sync
+        steps = 30
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt_state, loss = step(params, opt_state, emb, emb, *args, key)
+            final = float(loss)
+        dt = time.perf_counter() - t0
+        print(
+            f"flat B={B} ({total} live tokens, padded {T}): "
+            f"{dt / steps * 1e3:.1f} ms/step -> {steps * B / dt:,.0f} pairs/s "
+            f"(loss {final:.4f})"
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "flat":
+        main_flat(tuple(int(b) for b in sys.argv[2:]) or (512, 1024, 2048))
+    else:
+        main()
