@@ -106,6 +106,9 @@ def main():
 
     if len(sys.argv) > 2:
         keep = sys.argv[2].split(",")
+        unknown = [k for k in keep if k not in arms]
+        if unknown:
+            sys.exit(f"unknown arm(s) {unknown}; choose from {sorted(arms)}")
         arms = {k: v for k, v in arms.items() if k in keep}
 
     results = {}
@@ -125,12 +128,20 @@ def main():
         results[name] = best
         log(f"[{name}] {n / best:,.0f} news/s ({lens.sum() / best / 1e6:.2f}M live tokens/s)")
 
+    import json
+
     main_arm = "bucketed" if "bucketed" in results else next(iter(results))
-    speedup = results.get("fixed512", float("nan")) / results[main_arm]
-    print(
-        f'{{"metric": "encode_news_per_s", "value": {n / results[main_arm]:.0f}, '
-        f'"unit": "news/s", "vs_fixed512": {speedup:.2f}}}'
-    )
+    line = {
+        "metric": "encode_news_per_s",
+        "value": round(n / results[main_arm]),
+        "unit": "news/s",
+        "vs_fixed512": (
+            round(results["fixed512"] / results[main_arm], 2)
+            if "fixed512" in results
+            else None
+        ),
+    }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,20 @@ from ..models.news_encoder import (
 )
 
 
+def tower_kwargs_for_dim(dim: Optional[int]) -> dict:
+    """The CLI's ``--dim`` -> TowerConfig overrides mapping, shared by train /
+    eval / serve so a checkpoint trained at ``--dim X`` restores everywhere."""
+    if not dim:
+        return {}
+    return dict(
+        embedding_dim=dim,
+        reduced_dim=dim,
+        hidden_dim=4 * dim,
+        num_latents=min(64, dim),
+        latent_dim_head=max(8, dim // 2),
+    )
+
+
 def build_context(
     data_dir: Path,
     dataset: NewsDataset,

@@ -28,16 +28,10 @@ def main(argv=None):
     parser.add_argument("--exp-name", default="eval")
     args = parser.parse_args(argv)
 
+    from .common import tower_kwargs_for_dim
+
     dataset = NewsDataset[args.dataset]
-    tower_kwargs = {}
-    if args.dim:
-        tower_kwargs = dict(
-            embedding_dim=args.dim,
-            reduced_dim=args.dim,
-            hidden_dim=4 * args.dim,
-            num_latents=min(64, args.dim),
-            latent_dim_head=max(8, args.dim // 2),
-        )
+    tower_kwargs = tower_kwargs_for_dim(args.dim)
     pipe = Pipeline(
         name=f"eval_{args.exp_name}",
         steps=[

@@ -51,11 +51,10 @@ def build_ranker(
             "save_emb; positional-only dumps cannot resolve request news ids)"
         )
     news_ids = [str(n) for n in np.load(ids_path)]
-    emb = load_embeddings(emb_dir, dataset)
     try:
-        _, query = load_embeddings(emb_dir, dataset, with_query=True)
+        emb, query = load_embeddings(emb_dir, dataset, with_query=True)
     except FileNotFoundError:
-        query = None
+        emb, query = load_embeddings(emb_dir, dataset), None
 
     if ckpt is None:
         from ..models.pooling import average_pool
@@ -154,6 +153,8 @@ def serve_stdio(ranker: Ranker, stdin=None, stdout=None) -> None:
             continue
         try:
             req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError(f"request must be a JSON object, got {type(req).__name__}")
             out = dispatch(ranker, req.pop("op"), req)
         except (KeyError, ValueError, TypeError) as e:
             out = {"error": str(e)}
@@ -168,6 +169,9 @@ def main(argv=None):
                         help="trained tower checkpoint (omit = mean-pool scorer)")
     parser.add_argument("--tower", default="latent",
                         choices=["latent", "final_attention", "transformer"])
+    parser.add_argument("--dim", type=int, default=None,
+                        help="tower dim override; must match the checkpoint's "
+                             "training --dim")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=None)
     parser.add_argument("--stdio", action="store_true",
@@ -176,8 +180,13 @@ def main(argv=None):
     if args.stdio == (args.port is not None):
         parser.error("exactly one of --port / --stdio is required")
 
+    from .common import tower_kwargs_for_dim
+
     ranker = build_ranker(
-        args.emb_dir, args.dataset, args.ckpt, TowerConfig(kind=args.tower)
+        args.emb_dir,
+        args.dataset,
+        args.ckpt,
+        TowerConfig(kind=args.tower, **tower_kwargs_for_dim(args.dim)),
     )
     if args.stdio:
         serve_stdio(ranker)

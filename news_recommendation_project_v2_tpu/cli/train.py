@@ -52,16 +52,9 @@ def main(argv=None):
     dev_ds = NewsDataset[args.dev]
     exp_name = args.exp_name or f"e5_query_{args.tower}"
 
-    tower_kwargs = {}
-    if args.dim:
-        tower_kwargs = dict(
-            embedding_dim=args.dim,
-            reduced_dim=args.dim,
-            hidden_dim=4 * args.dim,
-            num_latents=min(64, args.dim),
-            latent_dim_head=max(8, args.dim // 2),
-        )
-    tower_cfg = TowerConfig(kind=args.tower, **tower_kwargs)
+    from .common import tower_kwargs_for_dim
+
+    tower_cfg = TowerConfig(kind=args.tower, **tower_kwargs_for_dim(args.dim))
     cls_cfg = TrainConfig(
         learning_rate=args.lr, num_epochs=args.cls_epochs, batch_size=args.batch_size
     )

@@ -70,7 +70,9 @@ def encode_corpus(
             estimate_encoder_batch(encoder_config, length=token_ids.shape[1]),
         )
     n = token_ids.shape[0]
-    n_pad = -(-n // batch_size) * batch_size
+    # An empty corpus still runs one pad batch so the result has the right
+    # embedding dim (and callers get a well-formed [0, D] array back).
+    n_pad = max(batch_size, -(-n // batch_size) * batch_size)
     ids = np.pad(token_ids, ((0, n_pad - n), (0, 0)))
     mask = np.pad(token_mask, ((0, n_pad - n), (0, 0)))
     mask[n:, 0] = 1  # keep padded rows non-degenerate (discarded below)

@@ -92,6 +92,22 @@ def test_bucketed_encode_matches_fixed_width(tiny_encoder):
     np.testing.assert_allclose(auto, fixed, atol=2e-5)
 
 
+def test_encode_empty_corpus(tiny_encoder):
+    """Zero news rows must yield a well-formed [0, D] table from both the
+    fixed-width and bucketed paths (an EmbeddingsComponent run over an empty
+    news set)."""
+    enc, tok, params = tiny_encoder
+    apply = lambda p, i, m: enc.apply(p, i, m)
+    ids = np.zeros((0, 8), np.int32)
+    mask = np.zeros((0, 8), np.int32)
+    out = np.asarray(encode_corpus(apply, params, ids, mask, batch_size=4))
+    assert out.shape == (0, TINY.hidden_dim)
+    out = np.asarray(
+        encode_corpus_bucketed(apply, params, ids, mask, buckets=(4,), batch_size=4)
+    )
+    assert out.shape == (0, TINY.hidden_dim)
+
+
 def test_hf_conversion_parity():
     """Convert a randomly-initialized torch XLMRobertaModel and check the flax
     forward matches torch mean-pooled output."""

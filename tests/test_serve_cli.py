@@ -130,6 +130,24 @@ def test_http_server_roundtrip(emb_dir):
         server.server_close()
 
 
+def test_stdio_survives_non_object_lines(emb_dir):
+    """A JSONL line whose value isn't an object must produce an error line,
+    not kill the loop."""
+    path, _, _ = emb_dir
+    r = build_ranker(path, "dev")
+    stdin = io.StringIO(
+        "5\n"
+        '"just a string"\n'
+        + json.dumps({"op": "retrieve", "history": ["N0"], "k": 1}) + "\n"
+    )
+    stdout = io.StringIO()
+    serve_stdio(r, stdin=stdin, stdout=stdout)
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert "must be a JSON object" in lines[0]["error"]
+    assert "must be a JSON object" in lines[1]["error"]
+    assert lines[2]["ranked"][0][0] == "N0"  # loop kept serving
+
+
 def test_stdio_jsonl_loop(emb_dir):
     path, _, _ = emb_dir
     r = build_ranker(path, "dev")
