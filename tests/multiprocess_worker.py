@@ -1,0 +1,133 @@
+"""Worker for tests/test_multiprocess.py: one of two OS processes whose 2
+virtual CPU devices each join a single 4-device (data=2, model=2) mesh via
+``jax.distributed``. The data axis spans the two processes, so the sharded
+train step's gradient psum crosses a REAL process boundary (Gloo collectives)
+— the closest single-box analogue of a multi-host pod (SURVEY.md §2.6
+collectives backend; the reference has no distributed backend at all).
+
+Usage (spawned by the test): worker.py PID NPROC COORD OUT_JSON
+Requires XLA_FLAGS=--xla_force_host_platform_device_count=2 in the env.
+"""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # the axon plugin overrides the env var
+
+pid, nproc, coord, out_path = (
+    int(sys.argv[1]),
+    int(sys.argv[2]),
+    sys.argv[3],
+    sys.argv[4],
+)
+jax.distributed.initialize(
+    coordinator_address=coord, num_processes=nproc, process_id=pid
+)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from news_recommendation_project_v2_tpu.config import (
+    MeshConfig,
+    TowerConfig,
+    TrainConfig,
+)
+from news_recommendation_project_v2_tpu.models import build_tower
+from news_recommendation_project_v2_tpu.parallel import (
+    build_mesh,
+    make_sharded_tower_train_step,
+)
+from news_recommendation_project_v2_tpu.parallel.sharding import (
+    batch_sharding,
+    replicated,
+    table_sharding,
+)
+from news_recommendation_project_v2_tpu.train.step import make_tower_train_step
+from news_recommendation_project_v2_tpu.train.trainer import make_optimizer
+
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 2 * nproc, jax.devices()
+mesh = build_mesh(MeshConfig(data_size=nproc, model_size=2))
+
+D, N, B, L = 32, 16, 8, 4
+tower = build_tower(
+    TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
+)
+# Same seed on every process -> identical params/batch (SPMD discipline).
+params = jax.jit(
+    lambda: tower.init(jax.random.key(0), jnp.zeros((1, L, D)), jnp.ones((1, L)))
+)()
+cfg = TrainConfig()
+optimizer = make_optimizer(cfg)
+opt_state = jax.jit(optimizer.init)(params)
+
+rng = np.random.default_rng(0)
+table = rng.standard_normal((N, D)).astype(np.float32)
+hist_idx = rng.integers(0, N, (B, L)).astype(np.int32)
+hist_mask = np.ones((B, L), np.float32)
+hist_rev = rng.integers(0, B, B).astype(np.int32)
+pos = rng.integers(0, N, B).astype(np.int32)
+neg = rng.integers(0, N, B).astype(np.int32)
+pmask = np.ones(B, np.float32)
+# Legacy uint32 key: representable as a plain array on every process.
+key = np.asarray(jax.random.PRNGKey(1))
+
+# Single-process reference loss on this process's local device.
+local_step = jax.jit(make_tower_train_step(tower.apply, optimizer, cfg.margin))
+_, _, loss_ref = local_step(
+    params, opt_state, jnp.asarray(table), jnp.asarray(table),
+    jnp.asarray(hist_idx), jnp.asarray(hist_mask), jnp.asarray(hist_rev),
+    jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(pmask), jnp.asarray(key),
+)
+loss_ref = float(loss_ref)
+
+# Global (cross-process) arrays matching the sharded step's in_shardings:
+# every process holds the full value; the callback hands each addressable
+# device its slice.
+
+
+def gshard(x, sharding):
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+rep, tab, dat = replicated(mesh), table_sharding(mesh), batch_sharding(mesh)
+dat2 = NamedSharding(mesh, P("data", None))
+step = make_sharded_tower_train_step(
+    make_tower_train_step(tower.apply, optimizer, cfg.margin), mesh, donate=False
+)
+new_params, new_opt, loss = step(
+    jax.tree.map(lambda l: gshard(l, rep), params),
+    jax.tree.map(lambda l: gshard(l, rep), opt_state),
+    gshard(table, tab),
+    gshard(table, tab),
+    gshard(hist_idx, dat2),
+    gshard(hist_mask, dat2),
+    gshard(hist_rev, dat),
+    gshard(pos, dat),
+    gshard(neg, dat),
+    gshard(pmask, dat),
+    gshard(key, rep),
+)
+loss = float(loss)  # replicated output: readable on every process
+
+# Param update equality (norm of a leaf's delta, replicated).
+leaf = jax.tree.leaves(new_params)[0]
+leaf_norm = float(jnp.linalg.norm(leaf.astype(jnp.float32)))
+
+with open(out_path, "w") as f:
+    json.dump(
+        {
+            "pid": pid,
+            "devices": len(jax.devices()),
+            "processes": jax.process_count(),
+            "loss": loss,
+            "loss_ref": loss_ref,
+            "leaf_norm": leaf_norm,
+        },
+        f,
+    )
+print(f"proc {pid}: loss={loss:.6f} ref={loss_ref:.6f}", flush=True)
