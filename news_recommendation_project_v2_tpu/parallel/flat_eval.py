@@ -29,6 +29,18 @@ from ..data.grouping import lengths_to_offsets, truncate_flat_end_aligned
 from ..ops.scoring import _flat_eval_body, _probe_out
 
 
+def _put_global(x, sharding: NamedSharding):
+    """Place a value with ``sharding`` across the WHOLE mesh, including
+    non-addressable devices (multi-process ``jax.distributed`` meshes): every
+    process supplies its addressable shards from the same host value, so the
+    plans work unchanged on multi-host pods. Single-process keeps the plain
+    ``device_put`` (no host round-trip for arrays already on device)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def partition_rows_by_tokens(hist_lens: np.ndarray, parts: int) -> np.ndarray:
     """[parts+1] contiguous row boundaries with ~equal token counts per part:
     each split point is the row boundary whose token cumsum is NEAREST the
@@ -124,11 +136,11 @@ class ShardedFlatEvalPlan:
         # Shard the leading device axis across the whole mesh.
         spec = P(self._axes)
         sh = NamedSharding(mesh, spec)
-        self.idx2d = jax.device_put(idx2d, sh)
-        self.rows2d = jax.device_put(rows2d, sh)
-        self.lens2d = jax.device_put(np.maximum(lens2d, 0.0), sh)
-        self.crev2d = jax.device_put(crev2d, sh)
-        self.crow2d = jax.device_put(crow2d, sh)
+        self.idx2d = _put_global(idx2d, sh)
+        self.rows2d = _put_global(rows2d, sh)
+        self.lens2d = _put_global(np.maximum(lens2d, 0.0), sh)
+        self.crev2d = _put_global(crev2d, sh)
+        self.crow2d = _put_global(crow2d, sh)
         # Jitted shard_map programs cached per (tower_apply, normalize,
         # out_dim): rebuilding the closure per score() would retrace and
         # recompile every eval (30-500s/program on remote-compile TPUs).
@@ -150,7 +162,7 @@ class ShardedFlatEvalPlan:
         mesh, axes = self.mesh, self._axes
         rep = NamedSharding(mesh, P())
         params, news_emb, table_for_history = jax.tree.map(
-            lambda x: jax.device_put(x, rep)
+            lambda x: _put_global(x, rep)
             if not (
                 isinstance(x, jax.Array)
                 and frozenset(x.devices()) == frozenset(mesh.devices.flat)
@@ -235,7 +247,7 @@ class ShardedFlatEvalPlan:
         mesh, axes = self.mesh, self._axes
         rep = NamedSharding(mesh, P())
         params, news_emb, table_for_history = jax.tree.map(
-            lambda x: jax.device_put(x, rep)
+            lambda x: _put_global(x, rep)
             if not (
                 isinstance(x, jax.Array)
                 and frozenset(x.devices()) == frozenset(mesh.devices.flat)
@@ -496,9 +508,9 @@ class ShardedMetricsPlan:
         # Upload sharded over the mesh (leading device axis), like the eval
         # plan's index grids.
         sh = NamedSharding(eval_plan.mesh, P(eval_plan._axes))
-        self.baseline = jax.device_put(baseline, sh)
-        self.hdst = jax.device_put(hdst, sh)
+        self.baseline = _put_global(baseline, sh)
+        self.hdst = _put_global(hdst, sh)
         self.grids = tuple(
-            MetricGrid(*(jax.device_put(np.asarray(x), sh) for x in g))
+            MetricGrid(*(_put_global(np.asarray(x), sh) for x in g))
             for g in grids
         )

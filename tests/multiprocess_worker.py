@@ -118,6 +118,43 @@ loss = float(loss)  # replicated output: readable on every process
 leaf = jax.tree.leaves(new_params)[0]
 leaf_norm = float(jnp.linalg.norm(leaf.astype(jnp.float32)))
 
+# --- Zero-fetch sharded eval METRICS across the process boundary ---------
+# The eval's only cross-device (here: cross-PROCESS) traffic is one 5-scalar
+# psum. Reference value: the same plan on a process-LOCAL 2-device mesh.
+from news_recommendation_project_v2_tpu.parallel.flat_eval import (
+    ShardedFlatEvalPlan,
+    ShardedMetricsPlan,
+)
+
+R = 8
+hist_lens_e = rng.integers(1, 6, size=R)
+hist_rev_e = rng.integers(0, N, size=int(hist_lens_e.sum())).astype(np.int32)
+cand_row = np.sort(
+    np.concatenate([np.arange(R), np.arange(R), rng.integers(0, R, size=R)])
+).astype(np.int32)
+cand_rev = rng.integers(0, N, size=len(cand_row)).astype(np.int32)
+imp_lens = np.bincount(cand_row, minlength=R)
+labels = rng.integers(0, 2, size=int(imp_lens.sum())).astype(np.float32)
+offs = np.concatenate([[0], np.cumsum(imp_lens)])
+labels[offs[:-1]] = 1.0
+labels[offs[1:] - 1] = 0.0
+
+def run_metrics(mesh_, model_size):
+    plan = ShardedFlatEvalPlan(
+        mesh_, hist_rev_e, hist_lens_e, cand_rev, cand_row,
+        chunk_tokens=8, cand_chunk=8,
+    )
+    mplan = ShardedMetricsPlan(
+        plan, imp_lens, labels, hist_slots=np.arange(len(cand_rev)), row_chunk=4
+    )
+    return plan.metrics(tower.apply, params, jnp.asarray(table), mplan)
+
+metrics_global = run_metrics(mesh, 2)  # 4 devices across 2 processes
+local_mesh = build_mesh(
+    MeshConfig(data_size=2, model_size=1), devices=jax.local_devices()
+)
+metrics_local = run_metrics(local_mesh, 1)  # this process only
+
 with open(out_path, "w") as f:
     json.dump(
         {
@@ -127,6 +164,8 @@ with open(out_path, "w") as f:
             "loss": loss,
             "loss_ref": loss_ref,
             "leaf_norm": leaf_norm,
+            "metrics": {k: float(v) for k, v in metrics_global.items()},
+            "metrics_local": {k: float(v) for k, v in metrics_local.items()},
         },
         f,
     )

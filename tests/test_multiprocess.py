@@ -72,3 +72,12 @@ def test_sharded_step_across_processes(tmp_path):
     np.testing.assert_allclose(
         results[0]["loss"], results[0]["loss_ref"], rtol=2e-5
     )
+    # The zero-fetch sharded eval (5-scalar psum across the process boundary)
+    # matches the process-local mesh on every metric, on every process.
+    for r in results:
+        assert r["metrics"]["num_samples"] == r["metrics_local"]["num_samples"]
+        for k in ("auc", "mrr", "ndcg5", "ndcg10"):
+            np.testing.assert_allclose(
+                r["metrics"][k], r["metrics_local"][k], atol=2e-5
+            )
+    assert results[0]["metrics"] == results[1]["metrics"]
