@@ -29,16 +29,7 @@ from ..data.grouping import lengths_to_offsets, truncate_flat_end_aligned
 from ..ops.scoring import _flat_eval_body, _probe_out
 
 
-def _put_global(x, sharding: NamedSharding):
-    """Place a value with ``sharding`` across the WHOLE mesh, including
-    non-addressable devices (multi-process ``jax.distributed`` meshes): every
-    process supplies its addressable shards from the same host value, so the
-    plans work unchanged on multi-host pods. Single-process keeps the plain
-    ``device_put`` (no host round-trip for arrays already on device)."""
-    if jax.process_count() == 1:
-        return jax.device_put(x, sharding)
-    x = np.asarray(x)
-    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+from .sharding import put_global as _put_global  # multi-process-safe placement
 
 
 def partition_rows_by_tokens(hist_lens: np.ndarray, parts: int) -> np.ndarray:

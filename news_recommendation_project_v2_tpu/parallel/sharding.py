@@ -20,7 +20,20 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def put_global(x, sharding: NamedSharding):
+    """Place a value with ``sharding`` across the WHOLE mesh, including
+    non-addressable devices (multi-process ``jax.distributed`` meshes): every
+    process supplies its addressable shards from the same host value — the
+    standard multi-host feeding pattern. Single-process keeps the plain
+    ``device_put`` (no host round-trip for arrays already on device)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
 def table_sharding(mesh: Mesh) -> NamedSharding:
@@ -47,7 +60,20 @@ def shard_news_table(mesh: Mesh, table: jnp.ndarray) -> jax.Array:
         table = jnp.concatenate(
             [table, jnp.zeros((pad, table.shape[1]), table.dtype)], axis=0
         )
-    return jax.device_put(table, table_sharding(mesh))
+    return put_global(table, table_sharding(mesh))
+
+
+def tower_step_shardings(mesh: Mesh) -> tuple[tuple, tuple]:
+    """(in_shardings, out_shardings) of the sharded tower train step — also
+    used by the trainer's multi-process batch placement (each host places its
+    addressable shards of every batch array before the call)."""
+    rep = replicated(mesh)
+    tab = table_sharding(mesh)
+    dat = batch_sharding(mesh)
+    dat2 = NamedSharding(mesh, P("data", None))
+    return (rep, rep, tab, tab, dat2, dat2, dat, dat, dat, dat, rep), (
+        rep, rep, rep,
+    )
 
 
 def make_sharded_tower_train_step(
@@ -66,12 +92,7 @@ def make_sharded_tower_train_step(
     - hist_idx / hist_mask: unique-history rows sharded over ``data``
     - hist_rev / pos / neg / pair_mask: pair rows sharded over ``data``
     """
-    rep = replicated(mesh)
-    tab = table_sharding(mesh)
-    dat = batch_sharding(mesh)
-    dat2 = NamedSharding(mesh, P("data", None))
-    in_shardings = (rep, rep, tab, tab, dat2, dat2, dat, dat, dat, dat, rep)
-    out_shardings = (rep, rep, rep)
+    in_shardings, out_shardings = tower_step_shardings(mesh)
     return jax.jit(
         step_fn,
         in_shardings=in_shardings,

@@ -257,11 +257,41 @@ class TowerTrainer:
                 "metrics / ShardedFlatEvalPlan.metrics); token-local towers "
                 "only"
             )
+        # Multi-process (jax.distributed) mesh: feed every step/eval input as
+        # a global array (each host places its addressable shards) and fetch
+        # only replicated scalars — the multi-host pod training mode.
+        self._multiprocess = mesh is not None and any(
+            d.process_index != jax.process_index() for d in mesh.devices.flat
+        )
         if mesh is not None:
             assert cfg.batch_size % mesh.shape["data"] == 0, (
                 f"batch_size {cfg.batch_size} must divide over the data axis "
                 f"({mesh.shape['data']})"
             )
+            if self._multiprocess:
+                from ..parallel.sharding import (
+                    put_global,
+                    replicated,
+                    tower_step_shardings,
+                )
+
+                assert device_metrics, (
+                    "multi-process meshes require device_metrics=True: every "
+                    "other eval path fetches per-slot scores, which are not "
+                    "addressable across processes (the fused metrics eval "
+                    "fetches five replicated scalars)"
+                )
+                rep = replicated(mesh)
+                self.params = jax.tree.map(
+                    lambda l: put_global(l, rep), self.params
+                )
+                self.opt_state = jax.tree.map(
+                    lambda l: put_global(l, rep), self.opt_state
+                )
+                self._rep_sharding = rep
+                # Batch-arg shardings = the step's in_shardings after the
+                # (params, opt_state, tables x2) prefix, before the key.
+                self._batch_shardings = tower_step_shardings(mesh)[0][4:-1]
             self._place_tables(mesh)
         self.flat_train = flat_train
         if flat_train:
@@ -452,12 +482,28 @@ class TowerTrainer:
         losses, counts = [], []
         for batch in prefetch(batches):
             self.key, sub = jax.random.split(self.key)
+            if self._multiprocess:
+                from ..parallel.sharding import put_global
+
+                # Same host value on every process (identical rng streams);
+                # each process commits its addressable shards. The dropout key
+                # travels as raw uint32 key data (typed key arrays cannot be
+                # placed via make_array_from_callback).
+                args = tuple(
+                    put_global(np.asarray(b), s)
+                    for b, s in zip(batch, self._batch_shardings)
+                )
+                sub = put_global(
+                    np.asarray(jax.random.key_data(sub)), self._rep_sharding
+                )
+            else:
+                args = tuple(map(jnp.asarray, batch))
             self.params, self.opt_state, loss = self._train_step(
                 self.params,
                 self.opt_state,
                 self.news_emb_train,
                 self.query_train,
-                *map(jnp.asarray, batch),
+                *args,
                 sub,
             )
             losses.append(loss)
@@ -633,7 +679,24 @@ class TowerTrainer:
                 self.opt_state = self.plateau.update(
                     self.opt_state, mean_metric(val_scores)
                 )
+                if self._multiprocess:
+                    # A plateau lr rewrite creates a process-local scalar leaf
+                    # inside the otherwise-global opt_state; re-place it.
+                    self.opt_state = self._ensure_global(self.opt_state)
         return self.history
+
+    def _ensure_global(self, tree):
+        """Re-place any process-local leaves of a mostly-global tree as
+        replicated global arrays (multi-process meshes only)."""
+        from ..parallel.sharding import put_global
+
+        mesh_devs = frozenset(self.mesh.devices.flat)
+        return jax.tree.map(
+            lambda l: l
+            if isinstance(l, jax.Array) and frozenset(l.devices()) == mesh_devs
+            else put_global(np.asarray(l), self._rep_sharding),
+            tree,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -690,6 +753,12 @@ class JointTowerTrainer(TowerTrainer):
         super().__init__(
             tower_apply, joint_params, compiled_train, news_emb_train, **kwargs
         )
+        if self._multiprocess:
+            raise NotImplementedError(
+                "JointTowerTrainer does not support multi-process meshes yet "
+                "(its step takes extra baseline columns the multi-process "
+                "batch placement does not cover); use TowerTrainer"
+            )
         from .step import make_joint_train_step
 
         raw_step = make_joint_train_step(

@@ -45,7 +45,13 @@ def _bytes_per_el(config, bytes_per_el: Optional[int]) -> int:
 
 def _budget(hbm_budget_bytes: Optional[int], fraction: float) -> int:
     if hbm_budget_bytes is None:
-        stats = jax.devices()[0].memory_stats() or {}
+        # local_devices: jax.devices()[0] may belong to ANOTHER process on
+        # multi-host runtimes, where memory_stats() raises (non-addressable);
+        # fleets are homogeneous so the local device's limit is the fleet's.
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            stats = {}
         hbm_budget_bytes = stats.get("bytes_limit", 16 * 1024**3)
     return int(hbm_budget_bytes * fraction)
 

@@ -155,6 +155,52 @@ local_mesh = build_mesh(
 )
 metrics_local = run_metrics(local_mesh, 1)  # this process only
 
+# --- FULL training run across the process-spanning mesh ------------------
+# TowerTrainer(mesh=<cross-process>, device_metrics=True): every step feeds
+# global arrays (each host commits its addressable shards), every eval
+# fetches five replicated scalars. Identical seeds -> identical host
+# sampling on both processes; the run must match the mesh=None run.
+from news_recommendation_project_v2_tpu.data import compile_behaviors
+from news_recommendation_project_v2_tpu.data.synthetic import (
+    align_embeddings,
+    synthetic_learnable_behaviors,
+)
+from news_recommendation_project_v2_tpu.train.trainer import TowerTrainer
+
+imps, hist, emb_syn = synthetic_learnable_behaviors(
+    num_news=80, num_rows=96, dim=D, noise=0.05
+)
+c = compile_behaviors(imps, hist).with_history_view()
+emb_aligned = align_embeddings(c.news_ids, emb_syn)
+
+
+def make_trainer(mesh_):
+    t_params = jax.jit(
+        lambda: tower.init(jax.random.key(3), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+    )()
+    return TowerTrainer(
+        tower.apply,
+        t_params,
+        c,
+        jnp.asarray(emb_aligned),
+        compiled_val=c,
+        news_emb_val=jnp.asarray(emb_aligned),
+        cfg=TrainConfig(learning_rate=3e-4, num_epochs=2, batch_size=16, seed=0),
+        mesh=mesh_,
+        flat_eval=True,
+        device_metrics=True,
+    )
+
+
+hist_mp = make_trainer(mesh).train()
+hist_single = make_trainer(None).train()
+train_run = {
+    "mp_losses": [r["loss"] for r in hist_mp],
+    "single_losses": [r["loss"] for r in hist_single],
+    "mp_final_val": hist_mp[-1]["val"],
+    "single_final_val": hist_single[-1]["val"],
+}
+
 with open(out_path, "w") as f:
     json.dump(
         {
@@ -166,6 +212,7 @@ with open(out_path, "w") as f:
             "leaf_norm": leaf_norm,
             "metrics": {k: float(v) for k, v in metrics_global.items()},
             "metrics_local": {k: float(v) for k, v in metrics_local.items()},
+            "train_run": train_run,
         },
         f,
     )

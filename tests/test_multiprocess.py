@@ -81,3 +81,12 @@ def test_sharded_step_across_processes(tmp_path):
                 r["metrics"][k], r["metrics_local"][k], atol=2e-5
             )
     assert results[0]["metrics"] == results[1]["metrics"]
+    # A FULL TowerTrainer run over the cross-process mesh reproduces the
+    # single-device run (same seeds -> same sampling; jitted math must agree)
+    # and both processes observe identical histories.
+    for r in results:
+        tr = r["train_run"]
+        np.testing.assert_allclose(tr["mp_losses"], tr["single_losses"], rtol=1e-4)
+        for k, v in tr["single_final_val"].items():
+            np.testing.assert_allclose(tr["mp_final_val"][k], v, atol=1e-5)
+    assert results[0]["train_run"] == results[1]["train_run"]
