@@ -194,6 +194,41 @@ def make_trainer(mesh_):
 
 hist_mp = make_trainer(mesh).train()
 hist_single = make_trainer(None).train()
+
+# --- Sharded corpus encode across the process boundary -------------------
+# (config[4]'s "sharded encode -> dump" stage on a multi-host pod.)
+from news_recommendation_project_v2_tpu.config import EncoderConfig
+from news_recommendation_project_v2_tpu.models.news_encoder import (
+    HashTokenizer,
+    NewsEncoder,
+)
+from news_recommendation_project_v2_tpu.parallel.sharding import (
+    make_sharded_encode_fn,
+    put_global,
+    replicated,
+)
+
+enc_cfg = EncoderConfig(
+    vocab_size=96, hidden_dim=32, num_layers=1, num_heads=2,
+    intermediate_dim=64, max_position=20, compute_dtype="float32",
+)
+enc = NewsEncoder(enc_cfg)
+tok = HashTokenizer(vocab_size=96, max_length=12)
+ids, emask = tok([f"doc number {i}" for i in range(8)])
+enc_params = jax.jit(
+    lambda: enc.init(jax.random.key(4), jnp.asarray(ids), jnp.asarray(emask))
+)()
+encode = make_sharded_encode_fn(mesh, lambda p, i, m: enc.apply(p, i, m))
+dat2s = NamedSharding(mesh, P("data", None))
+emb_g = encode(
+    jax.tree.map(lambda l: put_global(l, replicated(mesh)), enc_params),
+    put_global(ids, dat2s),
+    put_global(emask, dat2s),
+)
+plain = np.asarray(jax.jit(enc.apply)(enc_params, jnp.asarray(ids), jnp.asarray(emask)))
+for s in emb_g.addressable_shards:
+    np.testing.assert_allclose(np.asarray(s.data), plain[s.index], atol=1e-5)
+encode_rows_checked = sum(s.data.shape[0] for s in emb_g.addressable_shards)
 train_run = {
     "mp_losses": [r["loss"] for r in hist_mp],
     "single_losses": [r["loss"] for r in hist_single],
@@ -213,6 +248,7 @@ with open(out_path, "w") as f:
             "metrics": {k: float(v) for k, v in metrics_global.items()},
             "metrics_local": {k: float(v) for k, v in metrics_local.items()},
             "train_run": train_run,
+            "encode_rows_checked": encode_rows_checked,
         },
         f,
     )

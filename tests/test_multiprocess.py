@@ -90,3 +90,8 @@ def test_sharded_step_across_processes(tmp_path):
         for k, v in tr["single_final_val"].items():
             np.testing.assert_allclose(tr["mp_final_val"][k], v, atol=1e-5)
     assert results[0]["train_run"] == results[1]["train_run"]
+    # Sharded encode across processes: each process verified its addressable
+    # output shards against the local full encode (its 4-row data shard,
+    # replicated on both local model-axis devices -> 8 shard rows checked).
+    for r in results:
+        assert r["encode_rows_checked"] == 8
