@@ -12,12 +12,19 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Optional
 
+import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
 
 def save_pytree(path: Path, tree: Any) -> None:
     path = Path(path).absolute()
+    if jax.process_count() > 1:
+        # Multi-host: trainer state is replicated; hand Orbax one host copy
+        # per process (np.asarray of a fully-replicated global array reads
+        # local shards). EVERY process must call save — Orbax runs its own
+        # cross-process barrier inside and elects the writing host.
+        tree = jax.tree.map(lambda l: np.asarray(l), tree)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, tree, force=True)
 

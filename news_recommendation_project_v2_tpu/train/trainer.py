@@ -609,8 +609,9 @@ class TowerTrainer:
             "history": self.history,
             "rng_state": self.rng.bit_generator.state,
         }
-        with open(f"{path}_meta.json", "w") as f:
-            json.dump(meta, f)
+        if jax.process_index() == 0:  # one writer for the shared sidecar
+            with open(f"{path}_meta.json", "w") as f:
+                json.dump(meta, f)
 
     def restore_training_state(self, path: Path) -> int:
         """Restore params/opt_state/scheduler/best/rng; returns completed epoch
@@ -618,11 +619,14 @@ class TowerTrainer:
         from .checkpoint import load_pytree
 
         path = Path(path)
+        # Host-array `like`: restores land as plain host arrays (the jitted
+        # step re-places them), which also works when self.params are global
+        # multi-host arrays (they are re-placed below).
         state = load_pytree(
             path,
             like={
-                "params": self.params,
-                "opt_state": self.opt_state,
+                "params": jax.tree.map(np.asarray, self.params),
+                "opt_state": jax.tree.map(np.asarray, self.opt_state),
                 "epochs_done": 0,
                 "plateau_lr": self.plateau.lr,
                 "plateau_best": float(self.plateau.best),
@@ -633,6 +637,9 @@ class TowerTrainer:
         )
         self.params = state["params"]
         self.opt_state = state["opt_state"]
+        if self._multiprocess:
+            self.params = self._ensure_global(self.params)
+            self.opt_state = self._ensure_global(self.opt_state)
         self.plateau.lr = float(state["plateau_lr"])
         self.plateau.best = float(state["plateau_best"])
         self.plateau.stale = int(state["plateau_stale"])

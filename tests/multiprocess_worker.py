@@ -192,8 +192,26 @@ def make_trainer(mesh_):
     )
 
 
-hist_mp = make_trainer(mesh).train()
-hist_single = make_trainer(None).train()
+t_mp = make_trainer(mesh)
+hist_mp = t_mp.train()
+t_single = make_trainer(None)
+hist_single = t_single.train()
+
+# --- Checkpoint/resume across processes ----------------------------------
+# save_pytree writes one host copy from process 0; after a barrier, BOTH
+# processes restore from it and the resumed epoch must equal the original
+# run's next epoch (the single-process trainer continuing naturally).
+from jax.experimental import multihost_utils
+
+import os
+
+ckpt_path = os.path.join(os.path.dirname(os.path.abspath(out_path)), "shared_ckpt")
+t_mp.save_training_state(ckpt_path)
+multihost_utils.sync_global_devices("ckpt_saved")
+t_resume = make_trainer(mesh)
+resumed_epochs = t_resume.restore_training_state(ckpt_path)
+resume_loss = t_resume.train_one_epoch()
+resume_loss_single = t_single.train_one_epoch()
 
 # --- Sharded corpus encode across the process boundary -------------------
 # (config[4]'s "sharded encode -> dump" stage on a multi-host pod.)
@@ -234,6 +252,9 @@ train_run = {
     "single_losses": [r["loss"] for r in hist_single],
     "mp_final_val": hist_mp[-1]["val"],
     "single_final_val": hist_single[-1]["val"],
+    "resumed_epochs": resumed_epochs,
+    "resume_loss": resume_loss,
+    "resume_loss_single": resume_loss_single,
 }
 
 with open(out_path, "w") as f:

@@ -89,6 +89,12 @@ def test_sharded_step_across_processes(tmp_path):
         np.testing.assert_allclose(tr["mp_losses"], tr["single_losses"], rtol=1e-4)
         for k, v in tr["single_final_val"].items():
             np.testing.assert_allclose(tr["mp_final_val"][k], v, atol=1e-5)
+        # Checkpoint written by process 0, restored by BOTH processes after a
+        # barrier; the resumed epoch equals the uninterrupted run's next epoch.
+        assert tr["resumed_epochs"] == 2
+        np.testing.assert_allclose(
+            tr["resume_loss"], tr["resume_loss_single"], rtol=1e-4
+        )
     assert results[0]["train_run"] == results[1]["train_run"]
     # Sharded encode across processes: each process verified its addressable
     # output shards against the local full encode (its 4-row data shard,
