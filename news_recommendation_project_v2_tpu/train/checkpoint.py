@@ -20,11 +20,17 @@ import orbax.checkpoint as ocp
 def save_pytree(path: Path, tree: Any) -> None:
     path = Path(path).absolute()
     if jax.process_count() > 1:
-        # Multi-host: trainer state is replicated; hand Orbax one host copy
-        # per process (np.asarray of a fully-replicated global array reads
-        # local shards). EVERY process must call save — Orbax runs its own
+        # Multi-host: hand Orbax host copies of replicated leaves (np.asarray
+        # of a fully-replicated global array reads local shards); leaves that
+        # are genuinely SHARDED stay as global arrays — Orbax writes per-host
+        # shards natively. EVERY process must call save — Orbax runs its own
         # cross-process barrier inside and elects the writing host.
-        tree = jax.tree.map(lambda l: np.asarray(l), tree)
+        tree = jax.tree.map(
+            lambda l: l
+            if isinstance(l, jax.Array) and not l.is_fully_replicated
+            else np.asarray(l),
+            tree,
+        )
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, tree, force=True)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 from datetime import datetime
 from pathlib import Path
 from typing import Callable, Iterator, Optional
@@ -91,6 +92,8 @@ class PlateauScheduler:
 
 def _log_jsonl(log_dir: Optional[Path], fname: str, record: dict) -> None:
     if log_dir is None:
+        return
+    if jax.process_index() != 0:  # one writer on multi-host runs
         return
     log_dir = Path(log_dir)
     log_dir.mkdir(parents=True, exist_ok=True)
@@ -275,6 +278,7 @@ class TowerTrainer:
                     tower_step_shardings,
                 )
 
+                self._put_global = put_global
                 assert device_metrics, (
                     "multi-process meshes require device_metrics=True: every "
                     "other eval path fetches per-slot scores, which are not "
@@ -483,17 +487,15 @@ class TowerTrainer:
         for batch in prefetch(batches):
             self.key, sub = jax.random.split(self.key)
             if self._multiprocess:
-                from ..parallel.sharding import put_global
-
                 # Same host value on every process (identical rng streams);
                 # each process commits its addressable shards. The dropout key
                 # travels as raw uint32 key data (typed key arrays cannot be
                 # placed via make_array_from_callback).
                 args = tuple(
-                    put_global(np.asarray(b), s)
+                    self._put_global(np.asarray(b), s)
                     for b, s in zip(batch, self._batch_shardings)
                 )
-                sub = put_global(
+                sub = self._put_global(
                     np.asarray(jax.random.key_data(sub)), self._rep_sharding
                 )
             else:
@@ -610,8 +612,18 @@ class TowerTrainer:
             "rng_state": self.rng.bit_generator.state,
         }
         if jax.process_index() == 0:  # one writer for the shared sidecar
-            with open(f"{path}_meta.json", "w") as f:
+            # Write-then-rename: a concurrent reader never sees a half file.
+            tmp = f"{path}_meta.json.tmp"
+            with open(tmp, "w") as f:
                 json.dump(meta, f)
+            os.replace(tmp, f"{path}_meta.json")
+        if self._multiprocess:
+            # Barrier so that when ANY process returns from save, the full
+            # checkpoint (Orbax dir + meta sidecar) is visible to all — a
+            # same-run save -> restore sequence needs no caller-side sync.
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"nrtpu_save_{path.name}")
 
     def restore_training_state(self, path: Path) -> int:
         """Restore params/opt_state/scheduler/best/rng; returns completed epoch
@@ -646,6 +658,12 @@ class TowerTrainer:
         self.best.best_score = float(state["best_score"])
         self.key = jax.random.wrap_key_data(jnp.asarray(state["key_data"]))
         meta_path = Path(f"{path}_meta.json")
+        if self._multiprocess and not meta_path.exists():
+            raise FileNotFoundError(
+                f"{meta_path} missing: multi-process restores need the shared "
+                "rng/history sidecar, or the processes' sampling streams "
+                "would silently diverge"
+            )
         if meta_path.exists():
             with open(meta_path) as f:
                 meta = json.load(f)

@@ -42,6 +42,7 @@ from news_recommendation_project_v2_tpu.parallel import (
 )
 from news_recommendation_project_v2_tpu.parallel.sharding import (
     batch_sharding,
+    put_global,
     replicated,
     table_sharding,
 )
@@ -85,15 +86,9 @@ _, _, loss_ref = local_step(
 loss_ref = float(loss_ref)
 
 # Global (cross-process) arrays matching the sharded step's in_shardings:
-# every process holds the full value; the callback hands each addressable
-# device its slice.
-
-
-def gshard(x, sharding):
-    x = np.asarray(x)
-    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
-
-
+# every process holds the full value; put_global (the library's multi-host
+# placement helper) hands each addressable device its slice.
+gshard = put_global
 rep, tab, dat = replicated(mesh), table_sharding(mesh), batch_sharding(mesh)
 dat2 = NamedSharding(mesh, P("data", None))
 step = make_sharded_tower_train_step(
@@ -139,7 +134,7 @@ offs = np.concatenate([[0], np.cumsum(imp_lens)])
 labels[offs[:-1]] = 1.0
 labels[offs[1:] - 1] = 0.0
 
-def run_metrics(mesh_, model_size):
+def run_metrics(mesh_):
     plan = ShardedFlatEvalPlan(
         mesh_, hist_rev_e, hist_lens_e, cand_rev, cand_row,
         chunk_tokens=8, cand_chunk=8,
@@ -149,11 +144,11 @@ def run_metrics(mesh_, model_size):
     )
     return plan.metrics(tower.apply, params, jnp.asarray(table), mplan)
 
-metrics_global = run_metrics(mesh, 2)  # 4 devices across 2 processes
+metrics_global = run_metrics(mesh)  # 4 devices across 2 processes
 local_mesh = build_mesh(
     MeshConfig(data_size=2, model_size=1), devices=jax.local_devices()
 )
-metrics_local = run_metrics(local_mesh, 1)  # this process only
+metrics_local = run_metrics(local_mesh)  # this process only
 
 # --- FULL training run across the process-spanning mesh ------------------
 # TowerTrainer(mesh=<cross-process>, device_metrics=True): every step feeds
@@ -198,16 +193,13 @@ t_single = make_trainer(None)
 hist_single = t_single.train()
 
 # --- Checkpoint/resume across processes ----------------------------------
-# save_pytree writes one host copy from process 0; after a barrier, BOTH
-# processes restore from it and the resumed epoch must equal the original
-# run's next epoch (the single-process trainer continuing naturally).
-from jax.experimental import multihost_utils
-
+# save_training_state barriers internally (Orbax save + sidecar + explicit
+# sync), so the immediate restore on every process is safe with no
+# caller-side coordination.
 import os
 
 ckpt_path = os.path.join(os.path.dirname(os.path.abspath(out_path)), "shared_ckpt")
 t_mp.save_training_state(ckpt_path)
-multihost_utils.sync_global_devices("ckpt_saved")
 t_resume = make_trainer(mesh)
 resumed_epochs = t_resume.restore_training_state(ckpt_path)
 resume_loss = t_resume.train_one_epoch()

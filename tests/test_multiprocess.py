@@ -38,29 +38,37 @@ def test_sharded_step_across_processes(tmp_path):
     env.pop("PYTEST_CURRENT_TEST", None)
     outs = [tmp_path / f"out{i}.json" for i in range(nproc)]
     worker = Path(__file__).parent / "multiprocess_worker.py"
+    # Workers log to FILES, not pipes: an un-drained pipe filling up would
+    # block a worker mid-collective and hang its peer too.
+    log_paths = [tmp_path / f"worker{i}.log" for i in range(nproc)]
+    log_files = [open(p, "w") for p in log_paths]
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), str(nproc),
              f"127.0.0.1:{port}", str(outs[i])],
             env=env,
             cwd=str(Path(__file__).parent.parent),
-            stdout=subprocess.PIPE,
+            stdout=log_files[i],
             stderr=subprocess.STDOUT,
-            text=True,
         )
         for i in range(nproc)
     ]
-    logs = []
+
+    def logs():
+        return "\n---\n".join(p.read_text() for p in log_paths)
+
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
-            logs.append(out)
+            p.wait(timeout=600)
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        raise AssertionError(f"multiprocess workers hung; logs so far: {logs}")
-    for p, out in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
+        raise AssertionError(f"multiprocess workers hung; logs:\n{logs()}")
+    finally:
+        for f in log_files:
+            f.close()
+    for p in procs:
+        assert p.returncode == 0, f"worker failed:\n{logs()}"
 
     results = [json.loads(o.read_text()) for o in outs]
     for r in results:
