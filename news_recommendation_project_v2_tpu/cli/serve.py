@@ -176,6 +176,9 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=None)
     parser.add_argument("--stdio", action="store_true",
                         help="serve JSONL over stdin/stdout instead of HTTP")
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-compile all shape buckets before serving "
+                             "(first requests then never pay jit latency)")
     args = parser.parse_args(argv)
     if args.stdio == (args.port is not None):
         parser.error("exactly one of --port / --stdio is required")
@@ -188,6 +191,15 @@ def main(argv=None):
         args.ckpt,
         TowerConfig(kind=args.tower, **tower_kwargs_for_dim(args.dim)),
     )
+    if args.warmup:
+        import time
+
+        t0 = time.perf_counter()
+        n = ranker.warmup()
+        print(
+            f"warmed {n} programs in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
     if args.stdio:
         serve_stdio(ranker)
         return

@@ -10,7 +10,7 @@ back.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -123,6 +123,32 @@ class Ranker:
         scores = np.where(np.asarray(known) >= 0, scores, -np.inf)
         order = np.argsort(-scores, kind="stable")
         return [(candidate_ids[i], float(scores[i])) for i in order]
+
+    def warmup(
+        self,
+        history_buckets: Optional[Sequence[int]] = None,
+        candidate_buckets: Optional[Sequence[int]] = None,
+        retrieve_k: Optional[int] = 10,
+    ) -> int:
+        """Pre-compile the jitted programs for the given shape buckets so the
+        first real requests don't pay jit latency (remote TPU compiles run
+        30-500s; results land in the persistent compile cache). Defaults to
+        every (history, candidate) bucket pair plus the top-k retrieve per
+        history bucket. Returns the number of programs warmed."""
+        hb = list(history_buckets or self.buckets)
+        cb = list(candidate_buckets or self.candidate_buckets)
+        anchor = self.id_of[0]
+        n = 0
+        for L in hb:
+            self.rank([anchor] * L, [anchor] * cb[0])
+            n += 1
+            for C in cb[1:]:
+                self.rank([anchor] * L, [anchor] * C)
+                n += 1
+            if retrieve_k:
+                self.retrieve([anchor] * L, k=retrieve_k)
+                n += 1
+        return n
 
     def retrieve(
         self, history_ids: Sequence[str], k: int = 10

@@ -97,6 +97,19 @@ def test_dispatch_ops_and_json_safety(emb_dir):
         dispatch(r, "nope", {})
 
 
+def test_warmup_compiles_all_buckets(emb_dir):
+    """warmup() must touch one program per (history, candidate) bucket pair
+    plus a retrieve per history bucket, and subsequent ranks reuse them."""
+    path, _, _ = emb_dir
+    r = build_ranker(path, "dev")
+    r.buckets = (2, 4)
+    r.candidate_buckets = (2, 8)
+    n = r.warmup()
+    assert n == 2 * (2 + 1)  # 2 hist buckets x (2 cand buckets + 1 retrieve)
+    out = r.rank(["N0", "N1"], ["N2", "N3", "N4"])  # lands in warmed shapes
+    assert len(out) == 3
+
+
 def test_http_server_roundtrip(emb_dir):
     path, _, _ = emb_dir
     r = build_ranker(path, "dev")
