@@ -778,12 +778,6 @@ class JointTowerTrainer(TowerTrainer):
         super().__init__(
             tower_apply, joint_params, compiled_train, news_emb_train, **kwargs
         )
-        if self._multiprocess:
-            raise NotImplementedError(
-                "JointTowerTrainer does not support multi-process meshes yet "
-                "(its step takes extra baseline columns the multi-process "
-                "batch placement does not cover); use TowerTrainer"
-            )
         from .step import make_joint_train_step
 
         raw_step = make_joint_train_step(
@@ -816,14 +810,29 @@ class JointTowerTrainer(TowerTrainer):
         for batch in prefetch(self._epoch_batches()):
             hist_idx, hist_mask, rev, pos, neg, pair_mask = batch
             self.key, sub = jax.random.split(self.key)
+            extras = (
+                baseline[pos].astype(np.float32),
+                baseline[neg].astype(np.float32),
+            )
+            if self._multiprocess:
+                # Same placement discipline as TowerTrainer.train_one_epoch;
+                # the two baseline columns shard over the pair (data) axis.
+                dat = self._batch_shardings[2]
+                args = tuple(
+                    self._put_global(np.asarray(b), s)
+                    for b, s in zip(batch, self._batch_shardings)
+                ) + tuple(self._put_global(e, dat) for e in extras)
+                sub = self._put_global(
+                    np.asarray(jax.random.key_data(sub)), self._rep_sharding
+                )
+            else:
+                args = tuple(map(jnp.asarray, batch + extras))
             self.params, self.opt_state, loss = self._train_step(
                 self.params,
                 self.opt_state,
                 self.news_emb_train,
                 self.query_train,
-                *map(jnp.asarray, batch),
-                jnp.asarray(baseline[pos].astype(np.float32)),
-                jnp.asarray(baseline[neg].astype(np.float32)),
+                *args,
                 sub,
             )
             losses.append(loss)

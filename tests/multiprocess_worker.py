@@ -205,6 +205,44 @@ resumed_epochs = t_resume.restore_training_state(ckpt_path)
 resume_loss = t_resume.train_one_epoch()
 resume_loss_single = t_single.train_one_epoch()
 
+# --- Joint (blend) trainer across processes ------------------------------
+# One epoch of the alpha-blend joint step with the same placement discipline
+# (baseline columns shard over the pair axis).
+from news_recommendation_project_v2_tpu.models import WeightedSumModel
+from news_recommendation_project_v2_tpu.train.trainer import JointTowerTrainer
+
+base_scores = np.random.default_rng(7).random(c.num_news).astype(np.float32)
+
+
+def make_joint(mesh_):
+    t_params = jax.jit(
+        lambda: tower.init(jax.random.key(6), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+    )()
+    blend = WeightedSumModel()
+    blend_params = jax.jit(
+        lambda: blend.init(jax.random.key(1), jnp.zeros(2), jnp.zeros(2))
+    )()
+    return JointTowerTrainer(
+        tower.apply,
+        t_params,
+        c,
+        jnp.asarray(emb_aligned),
+        blend_apply=blend.apply,
+        blend_params=blend_params,
+        baseline_train=base_scores,
+        baseline_val=base_scores,
+        compiled_val=c,
+        news_emb_val=jnp.asarray(emb_aligned),
+        cfg=TrainConfig(learning_rate=3e-4, num_epochs=1, batch_size=16, seed=0),
+        mesh=mesh_,
+        flat_eval=True,
+        device_metrics=True,
+    )
+
+
+joint_mp = make_joint(mesh).train()
+joint_single = make_joint(None).train()
+
 # --- Sharded corpus encode across the process boundary -------------------
 # (config[4]'s "sharded encode -> dump" stage on a multi-host pod.)
 from news_recommendation_project_v2_tpu.config import EncoderConfig
@@ -247,6 +285,10 @@ train_run = {
     "resumed_epochs": resumed_epochs,
     "resume_loss": resume_loss,
     "resume_loss_single": resume_loss_single,
+    "joint_mp_loss": joint_mp[-1]["loss"],
+    "joint_single_loss": joint_single[-1]["loss"],
+    "joint_mp_val_auc": joint_mp[-1]["val"]["auc"],
+    "joint_single_val_auc": joint_single[-1]["val"]["auc"],
 }
 
 with open(out_path, "w") as f:

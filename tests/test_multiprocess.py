@@ -103,6 +103,13 @@ def test_sharded_step_across_processes(tmp_path):
         np.testing.assert_allclose(
             tr["resume_loss"], tr["resume_loss_single"], rtol=1e-4
         )
+        # Joint (alpha-blend) trainer across processes == single-device.
+        np.testing.assert_allclose(
+            tr["joint_mp_loss"], tr["joint_single_loss"], rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            tr["joint_mp_val_auc"], tr["joint_single_val_auc"], atol=1e-5
+        )
     assert results[0]["train_run"] == results[1]["train_run"]
     # Sharded encode across processes: each process verified its addressable
     # output shards against the local full encode (its 4-row data shard,
