@@ -986,6 +986,15 @@ class EndToEndTrainer:
         self.mesh = mesh
         if mesh is not None:
             assert cfg.batch_size % mesh.shape["data"] == 0
+            if any(
+                d.process_index != jax.process_index() for d in mesh.devices.flat
+            ):
+                raise NotImplementedError(
+                    "EndToEndTrainer supports single-process meshes only; "
+                    "multi-HOST training is provided by TowerTrainer / "
+                    "JointTowerTrainer (its offline-materialization eval path "
+                    "is not multi-process aware)"
+                )
             from ..parallel.sharding import make_sharded_e2e_train_step
 
             self._train_step = make_sharded_e2e_train_step(raw_step, mesh)
