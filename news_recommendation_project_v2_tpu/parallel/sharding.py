@@ -171,6 +171,26 @@ def make_sequence_sharded_tower_fn(mesh: Mesh, tower_apply: Callable) -> Callabl
     return jax.jit(fn, in_shardings=(rep, seq3, seq2), out_shardings=out)
 
 
+def make_sharded_classification_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    donate: bool = True,
+) -> Callable:
+    """DP classification-head step (see ``make_classification_train_step`` /
+    ``make_classification_infonce_step``): news table row-sharded over
+    ``model``, pos/neg/mask pair columns over ``data``, params replicated
+    (SPMD inserts the gradient psum)."""
+    rep = replicated(mesh)
+    tab = table_sharding(mesh)
+    dat = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, rep, tab, dat, dat, dat),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
 def make_sharded_encode_fn(mesh: Mesh, encoder_apply: Callable) -> Callable:
     """Data-parallel corpus encoding over the mesh: token batches sharded over
     ``data``, params replicated, pooled embeddings returned data-sharded (the

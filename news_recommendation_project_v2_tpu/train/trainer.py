@@ -1197,6 +1197,7 @@ class ClassificationTrainer:
         log_dir: Optional[Path] = None,
         ckpt_dir: Optional[Path] = None,
         exp_name: str = "",
+        mesh=None,  # jax.sharding.Mesh: DP train steps over `data`
     ):
         self.head_apply = head_apply
         self.params = params
@@ -1214,20 +1215,42 @@ class ClassificationTrainer:
         self.plateau = PlateauScheduler(cfg)
         self.history: list[dict] = []
 
+        self.mesh = mesh
+        if mesh is not None:
+            assert cfg.batch_size % mesh.shape["data"] == 0
+            if any(
+                d.process_index != jax.process_index() for d in mesh.devices.flat
+            ):
+                raise NotImplementedError(
+                    "ClassificationTrainer supports single-process meshes "
+                    "only (its baseline_scores fetch is per-news)"
+                )
+            from ..parallel.sharding import shard_news_table
+
+            # Tables stay PADDED to a shard multiple (pad rows are never
+            # indexed by pos/neg; eval slices preds back to num_news).
+            self.news_emb_train = shard_news_table(
+                mesh, jnp.asarray(self.news_emb_train)
+            )
+            if self.news_emb_val is not None:
+                self.news_emb_val = shard_news_table(
+                    mesh, jnp.asarray(self.news_emb_val)
+                )
+
         if cfg.loss == "infonce":
             from .step import make_classification_infonce_step
 
-            self._train_step = jax.jit(
-                make_classification_infonce_step(head_apply, self.optimizer),
-                donate_argnums=(0, 1),
-            )
+            raw_step = make_classification_infonce_step(head_apply, self.optimizer)
         else:
-            self._train_step = jax.jit(
-                make_classification_train_step(
-                    head_apply, self.optimizer, cfg.margin
-                ),
-                donate_argnums=(0, 1),
+            raw_step = make_classification_train_step(
+                head_apply, self.optimizer, cfg.margin
             )
+        if mesh is not None:
+            from ..parallel.sharding import make_sharded_classification_step
+
+            self._train_step = make_sharded_classification_step(raw_step, mesh)
+        else:
+            self._train_step = jax.jit(raw_step, donate_argnums=(0, 1))
 
         @functools.partial(jax.jit)
         def _predict(params, news_emb):
@@ -1294,7 +1317,9 @@ class ClassificationTrainer:
         return np.asarray(self._predict(self.params, news_emb))
 
     def _eval_split(self, compiled, news_emb) -> dict[str, float]:
-        preds = self.baseline_scores(news_emb)
+        # Slice away shard-padding rows (mesh mode pads tables to a multiple
+        # of the model axis).
+        preds = self.baseline_scores(news_emb)[: compiled.num_news]
         return compose_final_scores(compiled, baseline_scores=preds).metrics
 
     def train(self, num_epochs: Optional[int] = None) -> list[dict]:

@@ -262,6 +262,41 @@ def test_mesh_trainer_flat_eval_matches(mesh):
         assert flat_train[k] == pytest.approx(v, abs=1e-6)
 
 
+def test_mesh_classification_trainer_matches_single_device(mesh):
+    """ClassificationTrainer(mesh=...): DP steps over the data axis + padded
+    row-sharded table reproduce the single-device run."""
+    from news_recommendation_project_v2_tpu.data import compile_behaviors
+    from news_recommendation_project_v2_tpu.data.synthetic import (
+        align_embeddings,
+        synthetic_learnable_behaviors,
+    )
+    from news_recommendation_project_v2_tpu.models import ClassificationHead
+    from news_recommendation_project_v2_tpu.train.trainer import (
+        ClassificationTrainer,
+    )
+
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=90, num_rows=110, dim=D, noise=0.05
+    )
+    c = compile_behaviors(imps, hist)
+    emb_j = jnp.asarray(align_embeddings(c.news_ids, emb))
+
+    def make(m):
+        head = ClassificationHead(in_dim=D, hidden_dim=D)
+        params = jax.jit(lambda: head.init(jax.random.key(0), jnp.zeros((1, D))))()
+        return ClassificationTrainer(
+            head.apply, params, c, emb_j, compiled_val=c, news_emb_val=emb_j,
+            cfg=TrainConfig(learning_rate=1e-3, num_epochs=1, batch_size=64, seed=0),
+            mesh=m,
+        )
+
+    h_single = make(None).train()
+    h_mesh = make(mesh).train()
+    assert h_single[-1]["loss"] == pytest.approx(h_mesh[-1]["loss"], rel=1e-4)
+    for k, v in h_single[-1]["val"].items():
+        assert h_mesh[-1]["val"][k] == pytest.approx(v, abs=1e-6)
+
+
 def test_mesh_joint_trainer_matches_single_device(mesh):
     from news_recommendation_project_v2_tpu.data import compile_behaviors
     from news_recommendation_project_v2_tpu.data.synthetic import (
