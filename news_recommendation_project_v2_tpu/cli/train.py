@@ -42,6 +42,14 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=512)
     parser.add_argument("--lr", type=float, default=1e-5)
     parser.add_argument("--dim", type=int, default=None, help="embedding dim override")
+    parser.add_argument(
+        "--mesh",
+        default=None,
+        metavar="DATA,MODEL",
+        help="run training + eval scoring sharded over a (data, model) device "
+        "mesh, e.g. --mesh 4,2 (the config[3] scenario; device count must "
+        "equal data*model)",
+    )
     parser.add_argument("--log-dir", type=Path, default=Path("logs"))
     parser.add_argument("--ckpt-dir", type=Path, default=Path("models"))
     parser.add_argument("--exp-name", default=None)
@@ -53,6 +61,17 @@ def main(argv=None):
     exp_name = args.exp_name or f"e5_query_{args.tower}"
 
     from .common import tower_kwargs_for_dim
+
+    mesh = None
+    if args.mesh:
+        from ..config import MeshConfig
+        from ..parallel import build_mesh
+
+        try:
+            data_size, model_size = (int(x) for x in args.mesh.split(","))
+        except ValueError:
+            parser.error("--mesh wants DATA,MODEL integers, e.g. 4,2")
+        mesh = build_mesh(MeshConfig(data_size=data_size, model_size=model_size))
 
     tower_cfg = TowerConfig(kind=args.tower, **tower_kwargs_for_dim(args.dim))
     cls_cfg = TrainConfig(
@@ -111,6 +130,7 @@ def main(argv=None):
                     log_dir=args.log_dir,
                     ckpt_dir=args.ckpt_dir / "classification",
                     exp_name=exp_name,
+                    mesh=mesh,
                 ),
             ),
             (
@@ -121,6 +141,7 @@ def main(argv=None):
                     log_dir=args.log_dir,
                     ckpt_dir=args.ckpt_dir / "attention",
                     exp_name=exp_name,
+                    mesh=mesh,
                 ),
             ),
         ],

@@ -179,12 +179,14 @@ class ClassificationComponent(PipelineComponent):
         ckpt_dir: Optional[Path] = None,
         exp_name: str = "classification",
         warm_start: Optional[Path] = None,
+        mesh=None,  # jax.sharding.Mesh: DP train steps
     ):
         self.cfg = cfg
         self.log_dir = log_dir
         self.ckpt_dir = ckpt_dir
         self.exp_name = exp_name
         self.warm_start = warm_start
+        self.mesh = mesh
         self._trainer: Optional[ClassificationTrainer] = None
 
     def cache_token(self) -> str:
@@ -215,6 +217,7 @@ class ClassificationComponent(PipelineComponent):
             log_dir=self.log_dir,
             ckpt_dir=self.ckpt_dir,
             exp_name=self.exp_name,
+            mesh=self.mesh,
         )
         self._trainer.train()
         # Reload best checkpoint (reference components.py:363-372).
@@ -255,6 +258,7 @@ class _TowerComponentBase(PipelineComponent):
         exp_name: str = "attention",
         warm_start: Optional[Path] = None,
         buckets: Optional[tuple[int, ...]] = None,
+        mesh=None,  # jax.sharding.Mesh: sharded training + sharded eval scoring
     ):
         self.tower_config = tower_config
         self.cfg = cfg
@@ -263,6 +267,7 @@ class _TowerComponentBase(PipelineComponent):
         self.exp_name = exp_name
         self.warm_start = warm_start
         self.buckets = buckets
+        self.mesh = mesh
         self.tower = build_tower(tower_config)
         self.params = None
 
@@ -314,6 +319,7 @@ class _TowerComponentBase(PipelineComponent):
                 else None
             ),
             batch_size=self.cfg.batch_size,
+            mesh=self.mesh,
             **kwargs,
         )
         return scores
@@ -356,7 +362,8 @@ class AttentionComponent(_TowerComponentBase):
             log_dir=self.log_dir,
             ckpt_dir=self.ckpt_dir,
             exp_name=self.exp_name,
-            flat_train=self._flat() and self.cfg.loss == "margin",
+            mesh=self.mesh,
+            flat_train=self._flat() and self.cfg.loss == "margin" and self.mesh is None,
             flat_eval=self._flat(),
             device_metrics=self._flat(),  # epoch evals fused to 5-scalar fetches
             **({} if self.buckets is None else {"buckets": self.buckets}),
@@ -449,6 +456,9 @@ class AttentionWeightComponent(_TowerComponentBase):
             log_dir=self.log_dir,
             ckpt_dir=self.ckpt_dir,
             exp_name=self.exp_name,
+            mesh=self.mesh,
+            flat_eval=self._flat(),
+            device_metrics=self._flat(),
         )
         self._trainer.train()
         self.params = self._trainer.params["tower"]
@@ -513,6 +523,7 @@ class AttentionReduceComponent(_TowerComponentBase):
             log_dir=self.log_dir,
             ckpt_dir=self.ckpt_dir,
             exp_name=self.exp_name,
+            mesh=self.mesh,
         )
         self._trainer.train()
         self.params = self._trainer.params["tower"]

@@ -96,6 +96,36 @@ def test_cli_train_and_eval(data_root, capsys):
     assert "metrics" in out
 
 
+def test_cli_train_with_mesh_matches_single_device(data_root, capsys):
+    """--mesh 4,2: the whole CLI pipeline (classification + tower, training
+    AND eval scoring) runs sharded over the 8 virtual devices and produces the
+    same final metrics as the single-device run."""
+    common = [
+        str(data_root),
+        "--emb-dir", str(data_root / "embeddings"),
+        "--tower", "latent",
+        "--epochs", "1",
+        "--cls-epochs", "1",
+        "--batch-size", "32",
+        "--dim", "128",
+        "--log-dir", str(data_root / "logs_mesh"),
+        "--ckpt-dir", str(data_root / "models_mesh"),
+        "--no-cache",
+    ]
+    train_cli.main(common + ["--mesh", "4,2"])
+    out_mesh = capsys.readouterr().out
+    train_cli.main(common)
+    out_single = capsys.readouterr().out
+
+    def metrics_of(out):
+        line = next(l for l in out.splitlines() if l.startswith("dev metrics"))
+        return eval(line.split(":", 1)[1])  # repr of a plain dict of floats
+
+    m_mesh, m_single = metrics_of(out_mesh), metrics_of(out_single)
+    for k, v in m_single.items():
+        assert m_mesh[k] == pytest.approx(v, abs=1e-5), k
+
+
 def test_pipeline_cache_hit_and_invalidation(tmp_path, rng):
     calls = {"n": 0}
 
