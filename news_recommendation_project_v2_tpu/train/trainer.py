@@ -187,7 +187,123 @@ def _fused_eval_metrics(
 # ---------------------------------------------------------------------------
 
 
-class TowerTrainer:
+class ResumableTrainer:
+    """Preemption-safe training-state save/restore shared by every trainer
+    (SURVEY.md §5 failure detection: the TPU-native recovery story is
+    deterministic sharded steps + restartable state).
+
+    Persists params + optimizer state + epoch count, plus everything else a
+    resume needs to continue the ORIGINAL run rather than restart pieces of
+    it: the best-checkpoint score (so the first post-resume eval can't
+    silently overwrite ``Best_model_*`` with a worse model), the epoch
+    history, both RNG streams (so post-resume epochs don't replay epoch-1
+    sampling), and — when the trainer has one — the plateau scheduler (or a
+    post-restore plateau would rewrite the lr UPWARD from its original
+    value). The reference has no equivalent: its trainers restart from bare
+    ``Epoch_N.pt`` param dumps (``trainer.py:205-213``)."""
+
+    def save_training_state(self, path: Path) -> None:
+        from .checkpoint import save_pytree
+
+        path = Path(path)
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "epochs_done": len(self.history),
+            "best_score": float(self.best.best_score),
+        }
+        plateau = getattr(self, "plateau", None)
+        if plateau is not None:
+            state["plateau_lr"] = plateau.lr
+            state["plateau_best"] = float(plateau.best)
+            state["plateau_stale"] = plateau.stale
+        if getattr(self, "key", None) is not None:  # dropout stream
+            state["key_data"] = np.asarray(jax.random.key_data(self.key))
+        save_pytree(path, state)
+        # History records + numpy bit-generator state are JSON-shaped (the
+        # PCG64 state holds 128-bit ints no array format carries) -> sidecar.
+        meta = {
+            "history": self.history,
+            "rng_state": self.rng.bit_generator.state,
+        }
+        if jax.process_index() == 0:  # one writer for the shared sidecar
+            # Write-then-rename: a concurrent reader never sees a half file.
+            tmp = f"{path}_meta.json.tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, f"{path}_meta.json")
+        if getattr(self, "_multiprocess", False):
+            # Barrier so that when ANY process returns from save, the full
+            # checkpoint (Orbax dir + meta sidecar) is visible to all — a
+            # same-run save -> restore sequence needs no caller-side sync.
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"nrtpu_save_{path.name}")
+
+    def restore_training_state(self, path: Path) -> int:
+        """Restore params/opt_state/scheduler/best/rng; returns completed epoch
+        count."""
+        from .checkpoint import load_pytree
+
+        path = Path(path)
+        # Host-array `like`: restores land as plain host arrays (the jitted
+        # step re-places them), which also works when self.params are global
+        # multi-host arrays (they are re-placed below).
+        like = {
+            "params": jax.tree.map(np.asarray, self.params),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "epochs_done": 0,
+            "best_score": float(self.best.best_score),
+        }
+        plateau = getattr(self, "plateau", None)
+        if plateau is not None:
+            like["plateau_lr"] = plateau.lr
+            like["plateau_best"] = float(plateau.best)
+            like["plateau_stale"] = 0
+        if getattr(self, "key", None) is not None:
+            like["key_data"] = np.asarray(jax.random.key_data(self.key))
+        state = load_pytree(path, like=like)
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        if getattr(self, "_multiprocess", False):
+            self.params = self._ensure_global(self.params)
+            self.opt_state = self._ensure_global(self.opt_state)
+        if plateau is not None:
+            plateau.lr = float(state["plateau_lr"])
+            plateau.best = float(state["plateau_best"])
+            plateau.stale = int(state["plateau_stale"])
+        self.best.best_score = float(state["best_score"])
+        if "key_data" in state:
+            self.key = jax.random.wrap_key_data(jnp.asarray(state["key_data"]))
+        meta_path = Path(f"{path}_meta.json")
+        if getattr(self, "_multiprocess", False) and not meta_path.exists():
+            raise FileNotFoundError(
+                f"{meta_path} missing: multi-process restores need the shared "
+                "rng/history sidecar, or the processes' sampling streams "
+                "would silently diverge"
+            )
+        if meta_path.exists():
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.history = list(meta["history"])
+            self.rng.bit_generator.state = meta["rng_state"]
+        return int(state["epochs_done"])
+
+    def _ensure_global(self, tree):
+        """Re-place any process-local leaves of a mostly-global tree as
+        replicated global arrays (multi-process meshes only)."""
+        from ..parallel.sharding import put_global
+
+        mesh_devs = frozenset(self.mesh.devices.flat)
+        return jax.tree.map(
+            lambda l: l
+            if isinstance(l, jax.Array) and frozenset(l.devices()) == mesh_devs
+            else put_global(np.asarray(l), self._rep_sharding),
+            tree,
+        )
+
+
+class TowerTrainer(ResumableTrainer):
     """Trains a user-history tower with pairwise margin ranking over sampled
     impression pos/neg pairs (reference ``AttentionTrainer``,
     ``trainer.py:439-713``).
@@ -575,102 +691,6 @@ class TowerTrainer:
         )
         return train_scores, val_scores
 
-    # ------------------------------------------------------------------
-    # Preemption-safe resume (SURVEY.md §5 failure detection: the TPU-native
-    # recovery story is deterministic sharded steps + restartable state).
-    # ------------------------------------------------------------------
-
-    def save_training_state(self, path: Path) -> None:
-        """Persist params + optimizer state + scheduler state + epoch count,
-        plus everything else a resume needs to continue the ORIGINAL run rather
-        than restart pieces of it: the best-checkpoint score (so the first
-        post-resume eval can't silently overwrite ``Best_model_*`` with a worse
-        model), the epoch history, and both RNG streams (so post-resume epochs
-        don't replay epoch-1 sampling)."""
-        from .checkpoint import save_pytree
-
-        path = Path(path)
-        save_pytree(
-            path,
-            {
-                "params": self.params,
-                "opt_state": self.opt_state,
-                "epochs_done": len(self.history),
-                # Plateau scheduler must survive resume, or a post-restore
-                # plateau would rewrite the lr UPWARD from its original value.
-                "plateau_lr": self.plateau.lr,
-                "plateau_best": float(self.plateau.best),
-                "plateau_stale": self.plateau.stale,
-                "best_score": float(self.best.best_score),
-                "key_data": np.asarray(jax.random.key_data(self.key)),
-            },
-        )
-        # History records + numpy bit-generator state are JSON-shaped (the
-        # PCG64 state holds 128-bit ints no array format carries) -> sidecar.
-        meta = {
-            "history": self.history,
-            "rng_state": self.rng.bit_generator.state,
-        }
-        if jax.process_index() == 0:  # one writer for the shared sidecar
-            # Write-then-rename: a concurrent reader never sees a half file.
-            tmp = f"{path}_meta.json.tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, f"{path}_meta.json")
-        if self._multiprocess:
-            # Barrier so that when ANY process returns from save, the full
-            # checkpoint (Orbax dir + meta sidecar) is visible to all — a
-            # same-run save -> restore sequence needs no caller-side sync.
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices(f"nrtpu_save_{path.name}")
-
-    def restore_training_state(self, path: Path) -> int:
-        """Restore params/opt_state/scheduler/best/rng; returns completed epoch
-        count."""
-        from .checkpoint import load_pytree
-
-        path = Path(path)
-        # Host-array `like`: restores land as plain host arrays (the jitted
-        # step re-places them), which also works when self.params are global
-        # multi-host arrays (they are re-placed below).
-        state = load_pytree(
-            path,
-            like={
-                "params": jax.tree.map(np.asarray, self.params),
-                "opt_state": jax.tree.map(np.asarray, self.opt_state),
-                "epochs_done": 0,
-                "plateau_lr": self.plateau.lr,
-                "plateau_best": float(self.plateau.best),
-                "plateau_stale": 0,
-                "best_score": float(self.best.best_score),
-                "key_data": np.asarray(jax.random.key_data(self.key)),
-            },
-        )
-        self.params = state["params"]
-        self.opt_state = state["opt_state"]
-        if self._multiprocess:
-            self.params = self._ensure_global(self.params)
-            self.opt_state = self._ensure_global(self.opt_state)
-        self.plateau.lr = float(state["plateau_lr"])
-        self.plateau.best = float(state["plateau_best"])
-        self.plateau.stale = int(state["plateau_stale"])
-        self.best.best_score = float(state["best_score"])
-        self.key = jax.random.wrap_key_data(jnp.asarray(state["key_data"]))
-        meta_path = Path(f"{path}_meta.json")
-        if self._multiprocess and not meta_path.exists():
-            raise FileNotFoundError(
-                f"{meta_path} missing: multi-process restores need the shared "
-                "rng/history sidecar, or the processes' sampling streams "
-                "would silently diverge"
-            )
-        if meta_path.exists():
-            with open(meta_path) as f:
-                meta = json.load(f)
-            self.history = list(meta["history"])
-            self.rng.bit_generator.state = meta["rng_state"]
-        return int(state["epochs_done"])
-
     def train(self, num_epochs: Optional[int] = None) -> list[dict]:
         num_epochs = num_epochs or self.cfg.num_epochs
         # Continue numbering after a restore_training_state resume so Epoch_N
@@ -709,19 +729,6 @@ class TowerTrainer:
                     # inside the otherwise-global opt_state; re-place it.
                     self.opt_state = self._ensure_global(self.opt_state)
         return self.history
-
-    def _ensure_global(self, tree):
-        """Re-place any process-local leaves of a mostly-global tree as
-        replicated global arrays (multi-process meshes only)."""
-        from ..parallel.sharding import put_global
-
-        mesh_devs = frozenset(self.mesh.devices.flat)
-        return jax.tree.map(
-            lambda l: l
-            if isinstance(l, jax.Array) and frozenset(l.devices()) == mesh_devs
-            else put_global(np.asarray(l), self._rep_sharding),
-            tree,
-        )
 
 
 # ---------------------------------------------------------------------------
@@ -904,7 +911,7 @@ class JointTowerTrainer(TowerTrainer):
 # ---------------------------------------------------------------------------
 
 
-class EndToEndTrainer:
+class EndToEndTrainer(ResumableTrainer):
     """Backprops through a learned token-attention news encoder AND the history
     tower from frozen per-token states (reference ``AttentionAttentionTrainer``,
     ``trainer.py:952-1206``): NaN-loss abort, per-epoch checkpoints;
@@ -1129,7 +1136,10 @@ class EndToEndTrainer:
 
     def train(self, num_epochs: Optional[int] = None) -> list[dict]:
         num_epochs = num_epochs or self.cfg.num_epochs
-        for epoch in range(1, num_epochs + 1):
+        # Continue numbering after a restore_training_state resume so Epoch_N
+        # checkpoints and JSONL records extend the original run.
+        done = len(self.history)
+        for epoch in range(done + 1, done + num_epochs + 1):
             loss = self.train_one_epoch()
             record: dict = {"exp_name": self.exp_name, "epoch": epoch, "loss": loss}
             val_scores = None
@@ -1181,7 +1191,7 @@ class EndToEndTrainer:
 # ---------------------------------------------------------------------------
 
 
-class ClassificationTrainer:
+class ClassificationTrainer(ResumableTrainer):
     """Trains the content-only MLP scorer on pos/neg embedding pairs
     (reference ``ClassificationModelTrainer``, ``trainer.py:47-214``)."""
 
@@ -1324,7 +1334,10 @@ class ClassificationTrainer:
 
     def train(self, num_epochs: Optional[int] = None) -> list[dict]:
         num_epochs = num_epochs or self.cfg.num_epochs
-        for epoch in range(1, num_epochs + 1):
+        # Continue numbering after a restore_training_state resume (see
+        # ResumableTrainer).
+        done = len(self.history)
+        for epoch in range(done + 1, done + num_epochs + 1):
             loss = self.train_one_epoch()
             train_scores = self._eval_split(self.ct, self.news_emb_train)
             val_scores = (
