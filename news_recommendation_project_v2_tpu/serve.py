@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import HISTORY_BUCKETS, IMPRESSION_BUCKETS, bucket_for, bucket_for_open
+from .config import HISTORY_BUCKETS, IMPRESSION_BUCKETS, bucket_for
 from .data.grouping import dense_rank_by_segment
 
 
@@ -89,6 +89,19 @@ class Ranker:
         self.buckets = buckets
         self.candidate_buckets = candidate_buckets
 
+    def _chunk_sizes(self, n: int) -> list[int]:
+        """Candidate-axis padded shapes for an ``n``-candidate request: one
+        fixed bucket when it fits, else ceil(n / max_bucket) chunks of the
+        LARGEST bucket. Every chunk shape is drawn from the finite
+        ``candidate_buckets`` set, so ``warmup()`` covers every program any
+        request can ever hit (MIND impressions reach ~600, config.py:33 —
+        an open-ended padded axis would compile at request time, 30-500s on
+        tunneled TPUs)."""
+        max_c = self.candidate_buckets[-1]
+        if n <= max_c:
+            return [bucket_for(max(n, 1), self.candidate_buckets)]
+        return [max_c] * (-(-n // max_c))
+
     def rank(
         self, history_ids: Sequence[str], candidate_ids: Sequence[str]
     ) -> list[tuple[str, float]]:
@@ -100,26 +113,35 @@ class Ranker:
         known = [self.row_of.get(c, -1) for c in candidate_ids]
         L = bucket_for(len(hist), self.buckets)
         hist = hist[-L:]  # keep most recent clicks
-        # Candidate axis is open-ended: dropping a candidate would be a
-        # correctness bug (MIND impressions reach ~600, config.py:33).
-        C = bucket_for_open(max(len(known), 1), self.candidate_buckets)
         hist_idx = np.zeros(L, np.int32)
         hist_idx[: len(hist)] = hist
         hist_mask = np.zeros(L, np.float32)
         hist_mask[: len(hist)] = 1.0
-        cand_idx = np.zeros(C, np.int32)
-        cand_idx[: len(known)] = np.maximum(known, 0)
-        scores = np.asarray(
-            _rank_one(
-                self.tower_apply,
-                self.params,
-                self.news_emb,
-                self.query_emb,
-                jnp.asarray(hist_idx),
-                jnp.asarray(hist_mask),
-                jnp.asarray(cand_idx),
+        hist_idx_j = jnp.asarray(hist_idx)
+        hist_mask_j = jnp.asarray(hist_mask)
+        # Chunked over fixed buckets: scores are independent per candidate
+        # (the user vector is candidate-free), so a segment concat is exact.
+        chunks = []
+        start = 0
+        for C in self._chunk_sizes(len(known)):
+            part = known[start : start + C]
+            cand_idx = np.zeros(C, np.int32)
+            cand_idx[: len(part)] = np.maximum(part, 0)
+            chunks.append(
+                np.asarray(
+                    _rank_one(
+                        self.tower_apply,
+                        self.params,
+                        self.news_emb,
+                        self.query_emb,
+                        hist_idx_j,
+                        hist_mask_j,
+                        jnp.asarray(cand_idx),
+                    )
+                )[: len(part)]
             )
-        )[: len(known)]
+            start += C
+        scores = np.concatenate(chunks)[: len(known)]
         scores = np.where(np.asarray(known) >= 0, scores, -np.inf)
         order = np.argsort(-scores, kind="stable")
         return [(candidate_ids[i], float(scores[i])) for i in order]
@@ -134,7 +156,12 @@ class Ranker:
         first real requests don't pay jit latency (remote TPU compiles run
         30-500s; results land in the persistent compile cache). Defaults to
         every (history, candidate) bucket pair plus the top-k retrieve per
-        history bucket. Returns the number of programs warmed."""
+        history bucket. Because oversized candidate lists chunk over the
+        largest fixed bucket (``_chunk_sizes``), this covers EVERY program
+        ``rank``/``retrieve`` can ever hit — a post-warmup request costs zero
+        compiles regardless of candidate count (tested). ``rank_batch``
+        programs additionally vary in the request-group batch dimension.
+        Returns the number of programs warmed."""
         hb = list(history_buckets or self.buckets)
         cb = list(candidate_buckets or self.candidate_buckets)
         anchor = self.id_of[0]
@@ -185,26 +212,36 @@ class Ranker:
     ) -> list[list[tuple[str, float]]]:
         """Throughput path: many (history_ids, candidate_ids) requests scored in
         one device call per (history-bucket, candidate-bucket) shape group."""
-        prepared = []
+        # Oversized candidate lists expand into chunk sub-rows over the
+        # LARGEST fixed bucket (see _chunk_sizes) — the candidate axis of
+        # every shape group stays inside the finite bucket set, so the batch
+        # path hits only warmup-coverable programs. The tower forward is
+        # repeated per chunk of the same request (it is a few percent of the
+        # cosine work at these shapes); scores are segment-merged after.
+        prepared = []  # (req_i, chunk_start, hist, known_chunk, L, C)
         for req_i, (history_ids, candidate_ids) in enumerate(requests):
             hist = [self.row_of[h] for h in history_ids if h in self.row_of]
             if not hist:
                 raise ValueError(f"request {req_i}: no known history ids")
             known = [self.row_of.get(c, -1) for c in candidate_ids]
             L = bucket_for(len(hist), self.buckets)
-            C = bucket_for_open(max(len(known), 1), self.candidate_buckets)
-            prepared.append((req_i, hist[-L:], known, L, C))
+            start = 0
+            for C in self._chunk_sizes(len(known)):
+                prepared.append(
+                    (req_i, start, hist[-L:], known[start : start + C], L, C)
+                )
+                start += C
 
-        results: list = [None] * len(requests)
+        merged: list[dict[int, np.ndarray]] = [dict() for _ in requests]
         by_shape: dict[tuple[int, int], list] = {}
         for item in prepared:
-            by_shape.setdefault((item[3], item[4]), []).append(item)
+            by_shape.setdefault((item[4], item[5]), []).append(item)
         for (L, C), group in by_shape.items():
             B = len(group)
             hist_idx = np.zeros((B, L), np.int32)
             hist_mask = np.zeros((B, L), np.float32)
             cand_idx = np.zeros((B, C), np.int32)
-            for j, (_, hist, known, _, _) in enumerate(group):
+            for j, (_, _, hist, known, _, _) in enumerate(group):
                 hist_idx[j, : len(hist)] = hist
                 hist_mask[j, : len(hist)] = 1.0
                 cand_idx[j, : len(known)] = np.maximum(known, 0)
@@ -219,13 +256,18 @@ class Ranker:
                     jnp.asarray(cand_idx),
                 )
             )
-            for j, (req_i, _, known, _, _) in enumerate(group):
-                cand_ids = requests[req_i][1]
+            for j, (req_i, start, _, known, _, _) in enumerate(group):
                 s = np.where(
                     np.asarray(known) >= 0, scores[j, : len(known)], -np.inf
                 )
-                order = np.argsort(-s, kind="stable")
-                results[req_i] = [(cand_ids[i], float(s[i])) for i in order]
+                merged[req_i][start] = s
+
+        results: list = [None] * len(requests)
+        for req_i, (_, cand_ids) in enumerate(requests):
+            parts = merged[req_i]
+            s = np.concatenate([parts[k] for k in sorted(parts)])[: len(cand_ids)]
+            order = np.argsort(-s, kind="stable")
+            results[req_i] = [(cand_ids[i], float(s[i])) for i in order]
         return results
 
     def rank_dense(self, history_ids, candidate_ids) -> np.ndarray:
