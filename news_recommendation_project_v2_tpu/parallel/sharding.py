@@ -76,6 +76,41 @@ def tower_step_shardings(mesh: Mesh) -> tuple[tuple, tuple]:
     )
 
 
+def flat_tower_step_shardings(mesh: Mesh) -> tuple[tuple, tuple]:
+    """(in_shardings, out_shardings) of the sharded FLAT-token tower train step
+    (``make_tower_train_step_flat``): the flat token stream (tok_idx, tok_rows)
+    shards over ``data`` — each device runs the per-token tower on its token
+    chunk and scatter-adds into its local [U, D] accumulator replica, which
+    GSPMD reduces with one [U, D] psum (U = deduped rows <= batch) before the
+    pooling epilogue; pair columns shard over ``data`` like the padded step.
+
+    Signature: (params, opt_state, news_emb, query_emb, tok_idx, tok_rows,
+    lens, hist_rev, pos_idx, neg_idx, pair_mask, dropout_key)."""
+    rep = replicated(mesh)
+    tab = table_sharding(mesh)
+    dat = batch_sharding(mesh)
+    return (rep, rep, tab, tab, dat, dat, rep, dat, dat, dat, dat, rep), (
+        rep, rep, rep,
+    )
+
+
+def make_sharded_flat_tower_train_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    donate: bool = True,
+) -> Callable:
+    """Wrap the flat-token train step with mesh shardings (see
+    ``flat_tower_step_shardings``) — pods train on the fastest step instead of
+    silently falling back to the padded one."""
+    in_shardings, out_shardings = flat_tower_step_shardings(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=in_shardings,
+        out_shardings=out_shardings,
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
 def make_sharded_tower_train_step(
     step_fn: Callable,
     mesh: Mesh,

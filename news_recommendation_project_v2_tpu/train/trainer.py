@@ -382,6 +382,7 @@ class TowerTrainer(ResumableTrainer):
         self._multiprocess = mesh is not None and any(
             d.process_index != jax.process_index() for d in mesh.devices.flat
         )
+        self.flat_train = flat_train
         if mesh is not None:
             assert cfg.batch_size % mesh.shape["data"] == 0, (
                 f"batch_size {cfg.batch_size} must divide over the data axis "
@@ -389,6 +390,7 @@ class TowerTrainer(ResumableTrainer):
             )
             if self._multiprocess:
                 from ..parallel.sharding import (
+                    flat_tower_step_shardings,
                     put_global,
                     replicated,
                     tower_step_shardings,
@@ -411,21 +413,28 @@ class TowerTrainer(ResumableTrainer):
                 self._rep_sharding = rep
                 # Batch-arg shardings = the step's in_shardings after the
                 # (params, opt_state, tables x2) prefix, before the key.
-                self._batch_shardings = tower_step_shardings(mesh)[0][4:-1]
+                shardings = (
+                    flat_tower_step_shardings(mesh)
+                    if flat_train
+                    else tower_step_shardings(mesh)
+                )
+                self._batch_shardings = shardings[0][4:-1]
             self._place_tables(mesh)
-        self.flat_train = flat_train
         if flat_train:
             assert cfg.loss == "margin", "flat_train supports margin loss only"
-            assert mesh is None, (
-                "flat_train + mesh: use the padded sharded step (the flat "
-                "step's replicated-accumulator scatter does not shard well)"
-            )
             from .step import make_tower_train_step_flat
 
-            self._train_step = jax.jit(
-                make_tower_train_step_flat(tower_apply, self.optimizer, cfg.margin),
-                donate_argnums=(0, 1),
+            raw_step = make_tower_train_step_flat(
+                tower_apply, self.optimizer, cfg.margin
             )
+            if mesh is not None:
+                from ..parallel.sharding import make_sharded_flat_tower_train_step
+
+                self._train_step = make_sharded_flat_tower_train_step(
+                    raw_step, mesh
+                )
+            else:
+                self._train_step = jax.jit(raw_step, donate_argnums=(0, 1))
             return
         if cfg.loss == "infonce":
             from .step import make_tower_infonce_step
