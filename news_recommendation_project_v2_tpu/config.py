@@ -168,6 +168,15 @@ class EncoderConfig:
     max_length: int = NEWS_TEXT_MAXLEN
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # Decoder-architecture (Qwen2-class: rotary + RMSNorm + GQA + SwiGLU +
+    # causal mask) support — the NV-Embed/gte-Qwen2 family on the reference's
+    # model-shopping list (``config.py:60-69``, loaded via AutoModel
+    # ``modeling_utils.py:85-89``). ``arch="bert"`` keeps the XLM-R/BERT
+    # post-norm encoder layout.
+    arch: str = "bert"  # bert | qwen2
+    num_kv_heads: Optional[int] = None  # GQA; None -> num_heads (MHA)
+    head_dim: Optional[int] = None  # None -> hidden_dim // num_heads
+    rope_theta: float = 10000.0
 
 
 @dataclasses.dataclass(frozen=True)

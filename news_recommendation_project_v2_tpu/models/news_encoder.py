@@ -74,9 +74,96 @@ class EncoderLayer(nn.Module):
         )(hidden + ffn_out)
 
 
+def _rope_cos_sin(positions: jnp.ndarray, head_dim: int, theta: float, dtype):
+    """HF rotate-half RoPE tables: [T, head_dim] cos/sin with the frequency
+    vector repeated twice (transformers ``Qwen2RotaryEmbedding`` convention,
+    NOT interleaved)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+class DecoderLayer(nn.Module):
+    """Qwen2-class pre-norm decoder block: RMSNorm -> GQA attention with
+    rotary embeddings and a causal+padding mask -> RMSNorm -> SwiGLU MLP
+    (HF ``Qwen2DecoderLayer``; q/k/v biased, o/gate/up/down bias-free)."""
+
+    hidden_dim: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_dim: int
+    rms_norm_eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jnp.ndarray,  # [B, T, D]
+        cos: jnp.ndarray,  # [T, head_dim]
+        sin: jnp.ndarray,
+        attn_bias: jnp.ndarray,  # [B, 1, T, T] additive
+    ) -> jnp.ndarray:
+        b, t, _ = hidden.shape
+        h, kv, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        x = nn.RMSNorm(
+            epsilon=self.rms_norm_eps, dtype=self.dtype, name="input_norm"
+        )(hidden)
+        q = nn.Dense(h * hd, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(kv * hd, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(kv * hd, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, kv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, kv, hd).transpose(0, 2, 1, 3)
+        q = q * cos[None, None] + _rotate_half(q) * sin[None, None]
+        k = k * cos[None, None] + _rotate_half(k) * sin[None, None]
+        if kv != h:  # grouped-query: repeat kv heads
+            rep = h // kv
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd**-0.5)
+        probs = nn.softmax(logits + attn_bias.astype(logits.dtype), axis=-1)
+        ctx = (
+            jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, t, h * hd)
+        )
+        attn_out = nn.Dense(
+            self.hidden_dim, use_bias=False, dtype=self.dtype, name="o_proj"
+        )(ctx)
+        hidden = hidden + attn_out
+        x = nn.RMSNorm(
+            epsilon=self.rms_norm_eps, dtype=self.dtype, name="post_attn_norm"
+        )(hidden)
+        gate = nn.Dense(
+            self.intermediate_dim, use_bias=False, dtype=self.dtype, name="gate_proj"
+        )(x)
+        up = nn.Dense(
+            self.intermediate_dim, use_bias=False, dtype=self.dtype, name="up_proj"
+        )(x)
+        down = nn.Dense(
+            self.hidden_dim, use_bias=False, dtype=self.dtype, name="down_proj"
+        )(nn.silu(gate) * up)
+        return hidden + down
+
+
 class NewsEncoder(nn.Module):
-    """XLM-R-style encoder producing pooled, optionally L2-normalized news
-    embeddings."""
+    """News-text encoder producing pooled, optionally L2-normalized
+    embeddings. Two layouts, selected by ``config.arch``:
+
+    - ``"bert"``: XLM-R/BERT post-norm encoder (the e5 family);
+    - ``"qwen2"``: Qwen2-class causal decoder with rotary/RMSNorm/GQA/SwiGLU
+      (the NV-Embed/gte-Qwen2 family the reference loads via AutoModel,
+      ``modeling_utils.py:85-89``; pooling dispatch Qwen2->last, ``:62-75``).
+    """
 
     config: EncoderConfig = EncoderConfig()
 
@@ -91,6 +178,9 @@ class NewsEncoder(nn.Module):
         ``modeling_utils.py:463``)."""
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.arch == "qwen2":
+            return self._decoder_hidden_states(token_ids, mask, dtype)
+        assert cfg.arch == "bert", f"unknown encoder arch {cfg.arch!r}"
         word = nn.Embed(
             cfg.vocab_size, cfg.hidden_dim, dtype=dtype, name="word_embeddings"
         )(token_ids)
@@ -119,6 +209,38 @@ class NewsEncoder(nn.Module):
             )(hidden, mask)
         return hidden.astype(jnp.float32)
 
+    def _decoder_hidden_states(self, token_ids, mask, dtype) -> jnp.ndarray:
+        """Qwen2-class forward: token embeddings (no learned positions —
+        rotary inside attention), causal+padding mask, final RMSNorm.
+        Position ids are ``arange(T)`` (transformers' default forward path;
+        right-padding keeps real tokens at the front)."""
+        cfg = self.config
+        hd = cfg.head_dim or cfg.hidden_dim // cfg.num_heads
+        kv = cfg.num_kv_heads or cfg.num_heads
+        hidden = nn.Embed(
+            cfg.vocab_size, cfg.hidden_dim, dtype=dtype, name="word_embeddings"
+        )(token_ids)
+        t = token_ids.shape[1]
+        cos, sin = _rope_cos_sin(jnp.arange(t), hd, cfg.rope_theta, dtype)
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        keep = causal[None, None] & (mask[:, None, None, :] > 0)
+        attn_bias = jnp.where(keep, 0.0, float(jnp.finfo(jnp.float32).min))
+        for i in range(cfg.num_layers):
+            hidden = DecoderLayer(
+                cfg.hidden_dim,
+                cfg.num_heads,
+                kv,
+                hd,
+                cfg.intermediate_dim,
+                rms_norm_eps=cfg.layer_norm_eps,
+                dtype=dtype,
+                name=f"layer_{i}",
+            )(hidden, cos, sin, attn_bias)
+        hidden = nn.RMSNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="final_norm"
+        )(hidden)
+        return hidden.astype(jnp.float32)
+
     def __call__(
         self,
         token_ids: jnp.ndarray,  # [B, T] int32
@@ -145,10 +267,14 @@ _HF_KEY_PREFIXES = ("roberta.", "bert.", "model.")
 def convert_hf_state_dict(
     state_dict: dict[str, "np.ndarray"], config: EncoderConfig
 ) -> dict:
-    """Map a HuggingFace ``XLMRobertaModel``/``BertModel`` torch state dict (as
-    numpy arrays) onto ``NewsEncoder`` params. Torch ``Linear`` stores [out, in];
-    flax ``Dense`` wants [in, out]. Task-head prefixes (``roberta.`` etc. from
-    ``*ForMaskedLM``-style exports) are stripped."""
+    """Map a HuggingFace torch state dict (as numpy arrays) onto
+    ``NewsEncoder`` params — BERT/XLM-R layouts, or Qwen2-class decoder
+    layouts when ``config.arch == "qwen2"``. Torch ``Linear`` stores
+    [out, in]; flax ``Dense`` wants [in, out]. Task-head prefixes
+    (``roberta.`` / ``model.`` from ``*ForMaskedLM``/``*ForCausalLM``-style
+    exports) are stripped."""
+    if config.arch == "qwen2":
+        return _convert_qwen2_state_dict(state_dict, config)
     for prefix in _HF_KEY_PREFIXES:
         if any(k.startswith(prefix + "embeddings.") for k in state_dict):
             state_dict = {
@@ -194,19 +320,89 @@ def convert_hf_state_dict(
     return {"params": params}
 
 
+def _convert_qwen2_state_dict(
+    state_dict: dict[str, "np.ndarray"], config: EncoderConfig
+) -> dict:
+    """Qwen2-class (``Qwen2Model``/``Qwen2ForCausalLM``) state dict ->
+    ``NewsEncoder(arch="qwen2")`` params. The ``lm_head`` is dropped (the
+    encoder consumes hidden states, never logits)."""
+    if any(k.startswith("model.") for k in state_dict):
+        state_dict = {
+            k[len("model."):]: v
+            for k, v in state_dict.items()
+            if k.startswith("model.")
+        }
+
+    def g(key):
+        try:
+            return np.asarray(state_dict[key])
+        except KeyError:
+            raise KeyError(
+                f"Qwen2 checkpoint is missing {key!r} — is this really a "
+                "Qwen2-class model? Present keys start with: "
+                f"{sorted(state_dict)[:8]}"
+            ) from None
+
+    def lin(prefix, bias):
+        out = {"kernel": g(prefix + ".weight").T}
+        if bias:
+            out["bias"] = g(prefix + ".bias")
+        return out
+
+    params: dict[str, Any] = {
+        "word_embeddings": {"embedding": g("embed_tokens.weight")},
+        "final_norm": {"scale": g("norm.weight")},
+    }
+    # Qwen2 q/k/v carry biases; o_proj and the MLP do not.
+    qkv_bias = "layers.0.self_attn.q_proj.bias" in state_dict
+    for i in range(config.num_layers):
+        p = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "input_norm": {"scale": g(f"{p}.input_layernorm.weight")},
+            "q_proj": lin(f"{p}.self_attn.q_proj", qkv_bias),
+            "k_proj": lin(f"{p}.self_attn.k_proj", qkv_bias),
+            "v_proj": lin(f"{p}.self_attn.v_proj", qkv_bias),
+            "o_proj": lin(f"{p}.self_attn.o_proj", bias=False),
+            "post_attn_norm": {
+                "scale": g(f"{p}.post_attention_layernorm.weight")
+            },
+            "gate_proj": lin(f"{p}.mlp.gate_proj", bias=False),
+            "up_proj": lin(f"{p}.mlp.up_proj", bias=False),
+            "down_proj": lin(f"{p}.mlp.down_proj", bias=False),
+        }
+    return {"params": params}
+
+
+# Architectures with a native layout here. Everything else is a DESIGNED
+# boundary: a clear error naming the supported families, not a KeyError deep
+# inside weight conversion.
+_SUPPORTED_ARCHS = {
+    "XLMRobertaModel": ("bert", "mean"),
+    "XLMRobertaForMaskedLM": ("bert", "mean"),
+    "BertModel": ("bert", "first"),
+    "BertForMaskedLM": ("bert", "first"),
+    "Qwen2Model": ("qwen2", "last"),
+    "Qwen2ForCausalLM": ("qwen2", "last"),
+}
+
+
 def encoder_config_from_hf(hf_config: dict, **overrides) -> EncoderConfig:
     """Derive an ``EncoderConfig`` from an HF ``config.json`` dict, including
     the architecture-name pooling dispatch (reference ``output_pool``,
-    ``modeling_utils.py:62-75``: Qwen2->last, GTE ``NewModel``->first,
-    XLM-R (e5)->mean, default first)."""
+    ``modeling_utils.py:62-75``: Qwen2->last, XLM-R (e5)->mean) and the
+    decoder-layout fields for Qwen2-class checkpoints. Unsupported
+    architectures raise immediately with the supported list."""
     import dataclasses
 
-    arch = (hf_config.get("architectures") or ["XLMRobertaModel"])[0]
-    pooling = {
-        "Qwen2ForCausalLM": "last",
-        "NewModel": "first",
-        "XLMRobertaModel": "mean",
-    }.get(arch, "first")
+    arch_name = (hf_config.get("architectures") or ["XLMRobertaModel"])[0]
+    try:
+        arch, pooling = _SUPPORTED_ARCHS[arch_name]
+    except KeyError:
+        raise ValueError(
+            f"architecture {arch_name!r} is not supported; supported HF "
+            f"architectures: {sorted(_SUPPORTED_ARCHS)} (BERT/XLM-R encoder "
+            "layouts and Qwen2-class decoder layouts)"
+        ) from None
     cfg = EncoderConfig(
         vocab_size=hf_config["vocab_size"],
         hidden_dim=hf_config["hidden_size"],
@@ -214,8 +410,14 @@ def encoder_config_from_hf(hf_config: dict, **overrides) -> EncoderConfig:
         num_heads=hf_config["num_attention_heads"],
         intermediate_dim=hf_config["intermediate_size"],
         max_position=hf_config.get("max_position_embeddings", 514),
-        layer_norm_eps=hf_config.get("layer_norm_eps", 1e-5),
+        layer_norm_eps=hf_config.get(
+            "layer_norm_eps", hf_config.get("rms_norm_eps", 1e-5)
+        ),
         pooling=pooling,
+        arch=arch,
+        num_kv_heads=hf_config.get("num_key_value_heads"),
+        head_dim=hf_config.get("head_dim"),
+        rope_theta=hf_config.get("rope_theta", 10000.0),
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 

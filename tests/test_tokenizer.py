@@ -193,9 +193,13 @@ def test_encoder_config_from_hf_pooling_dispatch():
         "intermediate_size": 64,
     }
     assert encoder_config_from_hf({**base, "architectures": ["XLMRobertaModel"]}).pooling == "mean"
-    assert encoder_config_from_hf({**base, "architectures": ["Qwen2ForCausalLM"]}).pooling == "last"
-    assert encoder_config_from_hf({**base, "architectures": ["NewModel"]}).pooling == "first"
-    assert encoder_config_from_hf({**base, "architectures": ["SomethingElse"]}).pooling == "first"
+    assert encoder_config_from_hf({**base, "architectures": ["BertModel"]}).pooling == "first"
+    qwen = encoder_config_from_hf({**base, "architectures": ["Qwen2ForCausalLM"]})
+    assert qwen.pooling == "last" and qwen.arch == "qwen2"
+    # Architectures without a native layout here raise at config time — the
+    # designed boundary (was: advertised pooling, then KeyError mid-convert).
+    with pytest.raises(ValueError, match="not supported"):
+        encoder_config_from_hf({**base, "architectures": ["SomethingElse"]})
     cfg = encoder_config_from_hf({**base, "layer_norm_eps": 1e-12})
     assert cfg.layer_norm_eps == 1e-12
     assert cfg.vocab_size == 100
