@@ -170,17 +170,25 @@ def make_sharded_e2e_train_step(
     pair batch shards over ``data`` too; the gather of per-news embeddings by
     batch rows becomes an XLA collective. Params/opt-state replicated, so the
     gradient psum is inserted by SPMD as usual."""
-    rep = replicated(mesh)
-    dat = batch_sharding(mesh)
-    dat2 = NamedSharding(mesh, P("data", None))
-    in_shardings = (
-        rep, rep, dat2, dat2, dat2, dat2, dat, dat, dat, dat, rep,
-    )
+    in_shardings, out_shardings = e2e_step_shardings(mesh)
     return jax.jit(
         step_fn,
         in_shardings=in_shardings,
-        out_shardings=(rep, rep, rep),
+        out_shardings=out_shardings,
         donate_argnums=(0, 1) if donate else (),
+    )
+
+
+def e2e_step_shardings(mesh: Mesh) -> tuple[tuple, tuple]:
+    """(in_shardings, out_shardings) of the sharded end-to-end step — also
+    used by the trainer's multi-process batch placement. The token-state
+    block [M, T, D] shards its unique-news axis over ``data``."""
+    rep = replicated(mesh)
+    dat = batch_sharding(mesh)
+    dat2 = NamedSharding(mesh, P("data", None))
+    dat3 = NamedSharding(mesh, P("data", None, None))
+    return (rep, rep, dat3, dat2, dat2, dat2, dat, dat, dat, dat, rep), (
+        rep, rep, rep,
     )
 
 

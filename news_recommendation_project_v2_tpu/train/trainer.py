@@ -1000,17 +1000,36 @@ class EndToEndTrainer(ResumableTrainer):
             token_encoder_apply, tower_apply, self.optimizer, cfg.margin
         )
         self.mesh = mesh
+        self._multiprocess = mesh is not None and any(
+            d.process_index != jax.process_index() for d in mesh.devices.flat
+        )
         if mesh is not None:
             assert cfg.batch_size % mesh.shape["data"] == 0
-            if any(
-                d.process_index != jax.process_index() for d in mesh.devices.flat
-            ):
-                raise NotImplementedError(
-                    "EndToEndTrainer supports single-process meshes only; "
-                    "multi-HOST training is provided by TowerTrainer / "
-                    "JointTowerTrainer (its offline-materialization eval path "
-                    "is not multi-process aware)"
+            if self._multiprocess:
+                from ..parallel.sharding import (
+                    e2e_step_shardings,
+                    put_global,
+                    replicated,
                 )
+
+                self._put_global = put_global
+                assert device_metrics, (
+                    "multi-process meshes require device_metrics=True: the "
+                    "materialize->eval path otherwise fetches per-slot "
+                    "scores, which are not addressable across processes "
+                    "(the fused metrics eval fetches five replicated "
+                    "scalars; news embeddings are materialized identically "
+                    "on every process from the shared token store)"
+                )
+                rep = replicated(mesh)
+                self.params = jax.tree.map(
+                    lambda l: put_global(l, rep), self.params
+                )
+                self.opt_state = jax.tree.map(
+                    lambda l: put_global(l, rep), self.opt_state
+                )
+                self._rep_sharding = rep
+                self._batch_shardings = e2e_step_shardings(mesh)[0][2:-1]
             from ..parallel.sharding import make_sharded_e2e_train_step
 
             self._train_step = make_sharded_e2e_train_step(raw_step, mesh)
@@ -1086,8 +1105,20 @@ class EndToEndTrainer(ResumableTrainer):
         losses, counts = [], []
         for batch in prefetch(self._epoch_batches()):
             self.key, sub = jax.random.split(self.key)
+            if self._multiprocess:
+                # Identical rng streams per process; each process commits its
+                # addressable shards (see TowerTrainer.train_one_epoch).
+                args = tuple(
+                    self._put_global(np.asarray(b), s)
+                    for b, s in zip(batch, self._batch_shardings)
+                )
+                sub = self._put_global(
+                    np.asarray(jax.random.key_data(sub)), self._rep_sharding
+                )
+            else:
+                args = tuple(map(jnp.asarray, batch))
             self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state, *map(jnp.asarray, batch), sub
+                self.params, self.opt_state, *args, sub
             )
             losses.append(loss)
             if len(losses) % sync == 0:  # queue bound (see TowerTrainer)
@@ -1185,9 +1216,17 @@ class EndToEndTrainer(ResumableTrainer):
         (reference ``apply_token_attn``; shared helper in ``ops.encode``)."""
         from ..ops.encode import materialize_from_token_store
 
+        params = self.params["token_encoder"]
+        if self._multiprocess:
+            # Run the materialization process-LOCALLY from host copies of the
+            # replicated params (every process holds the full value and the
+            # full token store, so the results are identical everywhere);
+            # mixing global arrays with uncommitted host batches in one local
+            # jit is not allowed.
+            params = jax.tree.map(np.asarray, params)
         return materialize_from_token_store(
             self.token_encoder_apply,
-            self.params["token_encoder"],
+            params,
             self.store if store is None else store,
             batch_size=batch_size,
             max_token_len=self.max_token_len,
@@ -1235,17 +1274,25 @@ class ClassificationTrainer(ResumableTrainer):
         self.history: list[dict] = []
 
         self.mesh = mesh
+        self._multiprocess = mesh is not None and any(
+            d.process_index != jax.process_index() for d in mesh.devices.flat
+        )
         if mesh is not None:
             assert cfg.batch_size % mesh.shape["data"] == 0
-            if any(
-                d.process_index != jax.process_index() for d in mesh.devices.flat
-            ):
-                raise NotImplementedError(
-                    "ClassificationTrainer supports single-process meshes "
-                    "only (its baseline_scores fetch is per-news)"
-                )
             from ..parallel.sharding import shard_news_table
 
+            if self._multiprocess:
+                from ..parallel.sharding import put_global, replicated
+
+                self._put_global = put_global
+                rep = replicated(mesh)
+                self.params = jax.tree.map(
+                    lambda l: put_global(l, rep), self.params
+                )
+                self.opt_state = jax.tree.map(
+                    lambda l: put_global(l, rep), self.opt_state
+                )
+                self._rep_sharding = rep
             # Tables stay PADDED to a shard multiple (pad rows are never
             # indexed by pos/neg; eval slices preds back to num_news).
             self.news_emb_train = shard_news_table(
@@ -1265,17 +1312,35 @@ class ClassificationTrainer(ResumableTrainer):
                 head_apply, self.optimizer, cfg.margin
             )
         if mesh is not None:
-            from ..parallel.sharding import make_sharded_classification_step
+            from ..parallel.sharding import (
+                batch_sharding,
+                make_sharded_classification_step,
+                replicated,
+                table_sharding,
+            )
+            from jax.sharding import NamedSharding, PartitionSpec
 
             self._train_step = make_sharded_classification_step(raw_step, mesh)
+            dat = batch_sharding(mesh)
+            neg_sh = (
+                NamedSharding(mesh, PartitionSpec("data", None))
+                if cfg.loss == "infonce"
+                else dat
+            )
+            self._batch_shardings = (dat, neg_sh, dat)
+            # Head scores over the row-sharded table with a REPLICATED output:
+            # fully-replicated arrays are addressable on every process, so
+            # baseline_scores stays a plain np fetch on multi-host pods.
+            self._predict = jax.jit(
+                lambda p, t: self.head_apply(p, t)[:, 0],
+                in_shardings=(replicated(mesh), table_sharding(mesh)),
+                out_shardings=replicated(mesh),
+            )
         else:
             self._train_step = jax.jit(raw_step, donate_argnums=(0, 1))
-
-        @functools.partial(jax.jit)
-        def _predict(params, news_emb):
-            return self.head_apply(params, news_emb)[:, 0]
-
-        self._predict = _predict
+            self._predict = jax.jit(
+                lambda p, t: self.head_apply(p, t)[:, 0]
+            )
 
     def train_one_epoch(self) -> float:
         cfg = self.cfg
@@ -1315,13 +1380,22 @@ class ClassificationTrainer(ResumableTrainer):
             else:
                 neg = np.pad(pairs[1, start:stop].astype(np.int32), (0, pad))
             mask = np.pad(np.ones(stop - start, np.float32), (0, pad))
+            if self._multiprocess:
+                # Identical rng streams per process; each process commits its
+                # addressable shards (see TowerTrainer.train_one_epoch).
+                pos, neg, mask = (
+                    self._put_global(np.asarray(b), s)
+                    for b, s in zip((pos, neg, mask), self._batch_shardings)
+                )
+            else:
+                pos, neg, mask = jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(mask)
             self.params, self.opt_state, loss = self._train_step(
                 self.params,
                 self.opt_state,
                 self.news_emb_train,
-                jnp.asarray(pos),
-                jnp.asarray(neg),
-                jnp.asarray(mask),
+                pos,
+                neg,
+                mask,
             )
             losses.append(loss)
             if len(losses) % max(1, cfg.loss_sync_every) == 0:

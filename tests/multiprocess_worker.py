@@ -277,7 +277,89 @@ plain = np.asarray(jax.jit(enc.apply)(enc_params, jnp.asarray(ids), jnp.asarray(
 for s in emb_g.addressable_shards:
     np.testing.assert_allclose(np.asarray(s.data), plain[s.index], atol=1e-5)
 encode_rows_checked = sum(s.data.shape[0] for s in emb_g.addressable_shards)
+# --- End-to-end trainer across processes (VERDICT r2 item 5) -------------
+# Token batches fed via put_global; eval = process-local materialization of
+# the learned news embeddings (identical on both processes) -> zero-fetch
+# sharded flat metrics (5-scalar psum).
+from news_recommendation_project_v2_tpu.models import TokenAttentionPool
+from news_recommendation_project_v2_tpu.ops.encode import TokenStore
+from news_recommendation_project_v2_tpu.train.trainer import (
+    ClassificationTrainer,
+    EndToEndTrainer,
+)
+
+tok_rng = np.random.default_rng(11)
+tok_arrays = [
+    emb_aligned[i][None, :]
+    + tok_rng.standard_normal((int(tok_rng.integers(2, 5)), D)).astype(np.float32)
+    * 0.05
+    for i in range(c.num_news)
+]
+token_store = TokenStore.from_ragged(tok_arrays)
+tok_model = TokenAttentionPool(hidden_size=D, num_layers=1)
+
+
+def make_e2e(mesh_):
+    tok_params = jax.jit(
+        lambda: tok_model.init(
+            jax.random.key(5), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
+        )
+    )()
+    t_params = jax.jit(
+        lambda: tower.init(jax.random.key(3), jnp.zeros((1, 8, D)), jnp.ones((1, 8)))
+    )()
+    return EndToEndTrainer(
+        tok_model.apply,
+        tok_params,
+        tower.apply,
+        t_params,
+        c,
+        token_store,
+        cfg=TrainConfig(learning_rate=1e-4, num_epochs=1, batch_size=16, seed=0),
+        max_token_len=8,
+        compiled_val=c,
+        val_token_store=token_store,
+        eval_each_epoch=True,
+        mesh=mesh_,
+        flat_eval=True,
+        device_metrics=True,
+    )
+
+
+e2e_mp = make_e2e(mesh).train()
+e2e_single = make_e2e(None).train()
+
+
+# --- Classification trainer across processes ------------------------------
+def make_cls(mesh_):
+    from news_recommendation_project_v2_tpu.models import ClassificationHead
+
+    head = ClassificationHead(in_dim=D, hidden_dim=D)
+    h_params = jax.jit(lambda: head.init(jax.random.key(0), jnp.zeros((1, D))))()
+    return ClassificationTrainer(
+        head.apply,
+        h_params,
+        c,
+        jnp.asarray(emb_aligned),
+        compiled_val=c,
+        news_emb_val=jnp.asarray(emb_aligned),
+        cfg=TrainConfig(learning_rate=1e-3, num_epochs=1, batch_size=16, seed=0),
+        mesh=mesh_,
+    )
+
+
+cls_mp = make_cls(mesh).train()
+cls_single = make_cls(None).train()
+
 train_run = {
+    "e2e_mp_loss": e2e_mp[-1]["loss"],
+    "e2e_single_loss": e2e_single[-1]["loss"],
+    "e2e_mp_val": e2e_mp[-1]["val"],
+    "e2e_single_val": e2e_single[-1]["val"],
+    "cls_mp_loss": cls_mp[-1]["loss"],
+    "cls_single_loss": cls_single[-1]["loss"],
+    "cls_mp_val": cls_mp[-1]["val"],
+    "cls_single_val": cls_single[-1]["val"],
     "mp_losses": [r["loss"] for r in hist_mp],
     "single_losses": [r["loss"] for r in hist_single],
     "mp_final_val": hist_mp[-1]["val"],
