@@ -76,7 +76,7 @@ def tower_step_shardings(mesh: Mesh) -> tuple[tuple, tuple]:
     )
 
 
-def flat_tower_step_shardings(mesh: Mesh) -> tuple[tuple, tuple]:
+def flat_tower_step_shardings(mesh: Mesh, infonce: bool = False) -> tuple[tuple, tuple]:
     """(in_shardings, out_shardings) of the sharded FLAT-token tower train step
     (``make_tower_train_step_flat``): the flat token stream (tok_idx, tok_rows)
     shards over ``data`` — each device runs the per-token tower on its token
@@ -89,7 +89,8 @@ def flat_tower_step_shardings(mesh: Mesh) -> tuple[tuple, tuple]:
     rep = replicated(mesh)
     tab = table_sharding(mesh)
     dat = batch_sharding(mesh)
-    return (rep, rep, tab, tab, dat, dat, rep, dat, dat, dat, dat, rep), (
+    neg = NamedSharding(mesh, P("data", None)) if infonce else dat  # [B, K]
+    return (rep, rep, tab, tab, dat, dat, rep, dat, dat, neg, dat, rep), (
         rep, rep, rep,
     )
 
@@ -98,11 +99,12 @@ def make_sharded_flat_tower_train_step(
     step_fn: Callable,
     mesh: Mesh,
     donate: bool = True,
+    infonce: bool = False,
 ) -> Callable:
     """Wrap the flat-token train step with mesh shardings (see
     ``flat_tower_step_shardings``) — pods train on the fastest step instead of
     silently falling back to the padded one."""
-    in_shardings, out_shardings = flat_tower_step_shardings(mesh)
+    in_shardings, out_shardings = flat_tower_step_shardings(mesh, infonce=infonce)
     return jax.jit(
         step_fn,
         in_shardings=in_shardings,

@@ -98,25 +98,88 @@ def make_tower_train_step_flat(
         dropout_key,
     ):
         def loss_fn(p):
-            tokens = query_emb[tok_idx]
-            h = tower_apply(
-                p,
-                tokens[None],
-                None,
-                deterministic=False,
-                rngs={"dropout": dropout_key},
-            )[0]
-            num_rows = lens.shape[0]
-            acc = jnp.zeros((num_rows, h.shape[-1]), jnp.float32).at[tok_rows].add(
-                h.astype(jnp.float32), mode="drop", indices_are_sorted=True
+            user = _flat_user_vectors(
+                tower_apply, p, query_emb, tok_idx, tok_rows, lens,
+                normalize, dropout_key,
             )
-            user = acc / jnp.maximum(lens, 1.0)[:, None]
-            if normalize:
-                user = user / jnp.sqrt((user * user).sum(-1, keepdims=True) + 1e-12)
             u = user[hist_rev]
             cos_p = safe_cosine(u, news_emb[pos_idx])
             cos_n = safe_cosine(u, news_emb[neg_idx])
             return margin_ranking_loss(cos_p, cos_n, margin, pair_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, loss
+
+    return step
+
+
+def _flat_user_vectors(
+    tower_apply, params, query_emb, tok_idx, tok_rows, lens, normalize, key
+):
+    """Shared flat-token user-vector computation: per-token tower on the flat
+    stream, sorted segment-add pooling, optional unit-norm epilogue (must
+    mirror the tower's ``output_normalize``)."""
+    tokens = query_emb[tok_idx]
+    h = tower_apply(
+        params,
+        tokens[None],
+        None,
+        deterministic=False,
+        rngs={"dropout": key},
+    )[0]
+    num_rows = lens.shape[0]
+    acc = jnp.zeros((num_rows, h.shape[-1]), jnp.float32).at[tok_rows].add(
+        h.astype(jnp.float32), mode="drop", indices_are_sorted=True
+    )
+    user = acc / jnp.maximum(lens, 1.0)[:, None]
+    if normalize:
+        user = user / jnp.sqrt((user * user).sum(-1, keepdims=True) + 1e-12)
+    return user
+
+
+def make_tower_infonce_step_flat(
+    tower_apply: Callable,
+    optimizer: optax.GradientTransformation,
+    num_neg: int,
+    temperature: float = 1.0,
+    normalize: bool = True,
+) -> Callable:
+    """InfoNCE over the FLAT token stream: the zero-padding trick of
+    ``make_tower_train_step_flat`` with the one-positive-vs-K-negatives loss —
+    the BASELINE.json config[1] ("in-batch negatives") preset runs on the
+    fastest step. Token-local towers only."""
+    from .losses import infonce_loss
+
+    def step(
+        params,
+        opt_state,
+        news_emb,
+        query_emb,
+        tok_idx,  # [T]
+        tok_rows,  # [T]
+        lens,  # [U]
+        hist_rev,  # [B]
+        pos_idx,  # [B]
+        neg_idx,  # [B, K] (-1 = pad)
+        pair_mask,  # [B]
+        dropout_key,
+    ):
+        def loss_fn(p):
+            user = _flat_user_vectors(
+                tower_apply, p, query_emb, tok_idx, tok_rows, lens,
+                normalize, dropout_key,
+            )
+            u = user[hist_rev]
+            pos_scores = safe_cosine(u, news_emb[pos_idx])
+            neg_valid = (neg_idx >= 0).astype(jnp.float32)
+            neg_e = news_emb[jnp.maximum(neg_idx, 0)]  # [B, K, D]
+            un = jnp.sqrt((u * u).sum(-1, keepdims=True) + 1e-16)
+            nn_ = jnp.sqrt((neg_e * neg_e).sum(-1) + 1e-16)
+            neg_scores = (u[:, None, :] * neg_e).sum(-1) / (un * nn_)
+            return infonce_loss(
+                pos_scores, neg_scores, neg_valid, temperature, pair_mask
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)

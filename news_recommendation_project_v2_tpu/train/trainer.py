@@ -421,17 +421,23 @@ class TowerTrainer(ResumableTrainer):
                 self._batch_shardings = shardings[0][4:-1]
             self._place_tables(mesh)
         if flat_train:
-            assert cfg.loss == "margin", "flat_train supports margin loss only"
-            from .step import make_tower_train_step_flat
+            if cfg.loss == "infonce":
+                from .step import make_tower_infonce_step_flat
 
-            raw_step = make_tower_train_step_flat(
-                tower_apply, self.optimizer, cfg.margin
-            )
+                raw_step = make_tower_infonce_step_flat(
+                    tower_apply, self.optimizer, cfg.num_neg_per_pos
+                )
+            else:
+                from .step import make_tower_train_step_flat
+
+                raw_step = make_tower_train_step_flat(
+                    tower_apply, self.optimizer, cfg.margin
+                )
             if mesh is not None:
                 from ..parallel.sharding import make_sharded_flat_tower_train_step
 
                 self._train_step = make_sharded_flat_tower_train_step(
-                    raw_step, mesh
+                    raw_step, mesh, infonce=cfg.loss == "infonce"
                 )
             else:
                 self._train_step = jax.jit(raw_step, donate_argnums=(0, 1))
@@ -557,22 +563,42 @@ class TowerTrainer(ResumableTrainer):
         cfg = self.cfg
         cap = self.buckets[-1]
         offsets = self._hist_offsets
-        pairs = sample_pos_neg_pairs(
-            self.rng,
-            self.ct.imp_rev,
-            self.ct.imp_lens,
-            self.ct.labels_flat,
-            cfg.max_neg_ratio,
-            cfg.max_pos_ratio,
-        )
+        if cfg.loss == "infonce":
+            from ..data.sampling import sample_pos_neg_infonce
+
+            raw = sample_pos_neg_infonce(
+                self.rng,
+                self.ct.imp_rev,
+                self.ct.imp_lens,
+                self.ct.labels_flat,
+                cfg.num_neg_per_pos,
+            )
+            pairs = np.concatenate([raw[:1], raw[-1:]], axis=0)
+            negs = raw[1:-1]  # [K, total]
+        else:
+            pairs = sample_pos_neg_pairs(
+                self.rng,
+                self.ct.imp_rev,
+                self.ct.imp_lens,
+                self.ct.labels_flat,
+                cfg.max_neg_ratio,
+                cfg.max_pos_ratio,
+            )
+            negs = None
         perm = batch_aligned_permutation(self.rng, pairs.shape[1], cfg.batch_size)
         pairs = pairs[:, perm]
+        if negs is not None:
+            negs = negs[:, perm]
         B = cfg.batch_size
         for start in range(0, pairs.shape[1], B):
             stop = min(start + B, pairs.shape[1])
             pos = pairs[0, start:stop]
-            neg = pairs[1, start:stop]
-            rows = pairs[2, start:stop]
+            neg = (
+                negs[:, start:stop].T  # [b, K]
+                if negs is not None
+                else pairs[1, start:stop]
+            )
+            rows = pairs[-1, start:stop]
             uniq_rows, rev = np.unique(rows, return_inverse=True)
             lens = np.minimum(self.ct.hist_lens[uniq_rows], cap).astype(np.int64)
             ends = offsets[uniq_rows + 1]
@@ -591,13 +617,18 @@ class TowerTrainer(ResumableTrainer):
             lens_arr = np.zeros(B, np.float32)
             lens_arr[: len(uniq_rows)] = lens
             pad = B - (stop - start)
+            neg_padded = (
+                np.pad(neg.astype(np.int32), ((0, pad), (0, 0)), constant_values=-1)
+                if neg.ndim == 2
+                else np.pad(neg.astype(np.int32), (0, pad))
+            )
             yield (
                 tok_idx,
                 tok_rows,
                 lens_arr,
                 np.pad(rev.astype(np.int32), (0, pad)),
                 np.pad(pos.astype(np.int32), (0, pad)),
-                np.pad(neg.astype(np.int32), (0, pad)),
+                neg_padded,
                 np.pad(np.ones(stop - start, np.float32), (0, pad)),
             )
 

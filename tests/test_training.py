@@ -220,7 +220,7 @@ def test_flat_train_matches_padded(rng):
     c = compile_behaviors(imps, hist).with_history_view()
     emb_j = jnp.asarray(align_embeddings(c.news_ids, emb))
 
-    def run(flat):
+    def run(flat, loss="margin"):
         tower = build_tower(
             TowerConfig(kind="latent", reduced_dim=D, num_latents=4, latent_dim_head=8)
         )
@@ -229,13 +229,23 @@ def test_flat_train_matches_padded(rng):
         )()
         t = TowerTrainer(
             tower.apply, params, c, emb_j, compiled_val=c, news_emb_val=emb_j,
-            cfg=TrainConfig(learning_rate=3e-4, num_epochs=2, batch_size=32, seed=0),
+            cfg=TrainConfig(
+                learning_rate=3e-4, num_epochs=2, batch_size=32, seed=0, loss=loss
+            ),
             flat_train=flat,
         )
         return t.train()
 
     h_pad = run(False)
     h_flat = run(True)
+    # InfoNCE (the config[1] preset) has a flat-token step too: identical
+    # sampling stream -> the padded InfoNCE run must be reproduced.
+    h_pad_nce = run(False, loss="infonce")
+    h_flat_nce = run(True, loss="infonce")
+    for rp, rf in zip(h_pad_nce, h_flat_nce):
+        assert rf["loss"] == pytest.approx(rp["loss"], rel=1e-3)
+    for k, v in h_pad_nce[-1]["val"].items():
+        assert h_flat_nce[-1]["val"][k] == pytest.approx(v, abs=5e-3), k
     for rp, rf in zip(h_pad, h_flat):
         assert rf["loss"] == pytest.approx(rp["loss"], rel=1e-3)
     for k, v in h_pad[-1]["val"].items():
