@@ -15,6 +15,12 @@ Capability parity with the reference samplers
 Sampling runs on host with ``np.random.Generator`` (this is input-pipeline work;
 model-side randomness uses ``jax.random`` keys). Distributional invariants match the
 reference; exact bit-streams are not chased.
+
+Both samplers are fully VECTORIZED (random-key segment sorts instead of a
+per-impression ``rng.choice`` loop): sampling runs once per epoch over every
+impression, and at MIND scale the loop versions cost as much wall-clock as the
+whole epoch's TPU compute (measured in BASELINE.md). The loop implementations
+are kept as ``*_loop`` reference oracles for the distribution tests.
 """
 
 from __future__ import annotations
@@ -24,6 +30,78 @@ from typing import Optional
 import numpy as np
 
 from .grouping import lengths_to_offsets
+
+
+def _equalized_targets(
+    num_pos: np.ndarray,
+    num_neg: np.ndarray,
+    max_neg_ratio: Optional[float],
+    max_pos_ratio: Optional[float],
+) -> np.ndarray:
+    """Per-impression pair counts: ``max(num_pos, num_neg)`` with the reference's
+    ratio caps (``data_utils.py:345-356``; note the elif precedence — the
+    neg-ratio cap wins when both would apply)."""
+    targets = np.maximum(num_pos, num_neg)
+    if max_neg_ratio or max_pos_ratio:
+        if max_neg_ratio:
+            cap = num_neg * max_neg_ratio > num_pos
+            targets = np.where(
+                cap, (num_pos / max_neg_ratio).astype(np.int64), targets
+            )
+        if max_pos_ratio:
+            cap2 = num_pos * max_pos_ratio > num_neg
+            if max_neg_ratio:
+                cap2 &= ~(num_neg * max_neg_ratio > num_pos)
+            targets = np.where(
+                cap2, (num_neg / max_pos_ratio).astype(np.int64), targets
+            )
+    return targets.astype(np.int64)
+
+
+def _equalize_side(
+    rng: np.random.Generator,
+    vals: np.ndarray,  # flat side values, impression-major
+    counts: np.ndarray,  # [R] per-impression side counts (sum == len(vals))
+    targets: np.ndarray,  # [R] per-impression sample sizes
+) -> np.ndarray:
+    """Per impression: a uniform without-replacement subset of size ``target``
+    when ``count >= target``, else every original plus ``target - count``
+    samples with replacement; permuted. Vectorized via random-key segment
+    sorts (no Python loop). Returns [sum(targets)] in impression order."""
+    if (counts == 0).any() and (targets[counts == 0] > 0).any():
+        raise ValueError(
+            "impression with an empty label side cannot be sampled (the "
+            "reference crashes here too — every impression needs >=1 positive "
+            "and >=1 negative)"
+        )
+    segs = np.repeat(np.arange(len(counts)), counts)
+    # Random order within each segment: the first `target` elements of it are
+    # a uniform without-replacement sample. One composite-key argsort (integer
+    # segment id + uniform fraction) instead of a two-key lexsort — the key
+    # has ~35 random bits left above 157k segments, far beyond the <=600
+    # items per segment it needs to shuffle.
+    order = np.argsort(segs + rng.random(len(vals)))
+    vals_perm = vals[order]
+    off = lengths_to_offsets(counts)
+    t_off = lengths_to_offsets(targets)
+    total = int(t_off[-1])
+    seg_out = np.repeat(np.arange(len(counts)), targets)
+    slot = np.arange(total) - np.repeat(t_off[:-1], targets)
+    cnt = counts[seg_out]
+    base = np.repeat(off[:-1], targets)
+    # Slots < count walk the permutation (covers every original once when
+    # count <= target); slots >= count resample uniformly WITH replacement.
+    take = base + np.minimum(slot, np.maximum(cnt - 1, 0))
+    extra = slot >= cnt
+    if extra.any():
+        take[extra] = base[extra] + rng.integers(
+            0, np.iinfo(np.int64).max, size=int(extra.sum())
+        ) % cnt[extra]
+    out = vals_perm[take]
+    # Final within-impression shuffle so originals and extras interleave
+    # (reference permutes the concatenation, data_utils.py:361-370).
+    order2 = np.argsort(seg_out + rng.random(total))
+    return out[order2]
 
 
 def sample_pos_neg_pairs(
@@ -38,6 +116,33 @@ def sample_pos_neg_pairs(
 
     Matches reference output layout (``data_utils.py:382-388``).
     """
+    imp_lens = np.asarray(imp_lens, dtype=np.int64)
+    row_of_slot = np.repeat(np.arange(len(imp_lens)), imp_lens)
+    is_pos = np.asarray(labels_flat) == 1
+    num_pos = np.bincount(row_of_slot[is_pos], minlength=len(imp_lens)).astype(
+        np.int64
+    )
+    num_neg = imp_lens - num_pos
+    targets = _equalized_targets(num_pos, num_neg, max_neg_ratio, max_pos_ratio)
+    pos_s = _equalize_side(rng, imp_rev[is_pos], num_pos, targets)
+    neg_s = _equalize_side(rng, imp_rev[~is_pos], num_neg, targets)
+    row_ids = np.repeat(np.arange(len(imp_lens), dtype=np.int32), targets)
+    return np.stack(
+        [pos_s.astype(np.int32), neg_s.astype(np.int32), row_ids]
+    )
+
+
+def sample_pos_neg_pairs_loop(
+    rng: np.random.Generator,
+    imp_rev: np.ndarray,
+    imp_lens: np.ndarray,
+    labels_flat: np.ndarray,
+    max_neg_ratio: Optional[float] = None,
+    max_pos_ratio: Optional[float] = None,
+) -> np.ndarray:
+    """Per-impression loop transliteration of the reference sampler — the
+    distribution oracle for ``sample_pos_neg_pairs`` (tests) and the baseline
+    for the sampling benchmark."""
     offsets = lengths_to_offsets(imp_lens)
     pos_out: list[np.ndarray] = []
     neg_out: list[np.ndarray] = []
@@ -55,6 +160,7 @@ def sample_pos_neg_pairs(
                 max_len = int(num_pos / max_neg_ratio)
             elif max_pos_ratio and (num_pos * max_pos_ratio > num_neg):
                 max_len = int(num_neg / max_pos_ratio)
+
         def oversample_to(arr: np.ndarray, size: int) -> np.ndarray:
             # Keep every original item, top up with replacement, permute
             # (reference data_utils.py:361-370). If a ratio cap pushed the target
@@ -100,7 +206,83 @@ def sample_pos_neg_infonce(
     impression has fewer than ``num_neg_per_pos`` negatives (reference
     ``data_utils.py:294-301,327-334``; note the reference reuses the same padded
     negative list for every positive in that case — preserved here).
+
+    Vectorized: per-positive rejection sampling over the impression's
+    negatives (exact; see the inline note), O(total_pos * k) per round.
     """
+    k = num_neg_per_pos
+    imp_lens = np.asarray(imp_lens, dtype=np.int64)
+    R = len(imp_lens)
+    row_of_slot = np.repeat(np.arange(R), imp_lens)
+    is_pos = np.asarray(labels_flat) == 1
+    pos_vals = imp_rev[is_pos].astype(np.int32)
+    pos_row = row_of_slot[is_pos]
+    neg_vals = imp_rev[~is_pos].astype(np.int32)
+    neg_row = row_of_slot[~is_pos]
+    num_neg = np.bincount(neg_row, minlength=R).astype(np.int64)
+    neg_off = lengths_to_offsets(num_neg)
+
+    P = len(pos_vals)
+    negs = np.empty((P, k), dtype=np.int32)
+
+    enough = num_neg[pos_row] >= k  # per-positive: sample without replacement
+    short_rows = ~enough
+    if short_rows.any():
+        # Few negatives: every negative once + -1 padding, identical padded
+        # list for every positive of the impression (reference quirk). Only
+        # the small impressions' negative slots are touched.
+        small_imps = np.flatnonzero(num_neg < k)
+        padded = np.full((len(small_imps), k), -1, dtype=np.int32)
+        cnts = num_neg[small_imps]
+        seg = np.repeat(np.arange(len(small_imps)), cnts)
+        within = np.arange(int(cnts.sum())) - np.repeat(
+            lengths_to_offsets(cnts)[:-1], cnts
+        )
+        flat_src = np.repeat(neg_off[:-1][small_imps], cnts) + within
+        padded[seg, within] = neg_vals[flat_src]
+        imp_to_small = np.zeros(R, np.int64)
+        imp_to_small[small_imps] = np.arange(len(small_imps))
+        negs[short_rows] = padded[imp_to_small[pos_row[short_rows]]]
+    if enough.any():
+        # Vectorized rejection sampling: draw k indices WITH replacement per
+        # positive, redraw only the rows that contain a duplicate.
+        # Conditioned on distinctness the draw is an exact uniform ordered
+        # k-subset (== rng.choice(replace=False)); redraw rounds are geometric
+        # (slowest for n == k rows), every round O(pending * k) — no
+        # [P, max_neg] key matrix. Measured fastest of three exact vectorized
+        # schemes on MIND-scale stats (key-matrix argpartition, sequential
+        # order-mapping, rejection).
+        idxr = np.flatnonzero(enough)
+        n = num_neg[pos_row[idxr]]
+        draws = np.empty((len(idxr), k), np.int64)
+        pending = np.arange(len(idxr))
+        while len(pending):
+            cand = (rng.random((len(pending), k)) * n[pending][:, None]).astype(
+                np.int64
+            )
+            srt = np.sort(cand, axis=1)
+            ok = (srt[:, 1:] != srt[:, :-1]).all(axis=1)
+            draws[pending[ok]] = cand[ok]
+            pending = pending[~ok]
+        negs[idxr] = neg_vals[neg_off[:-1][pos_row[idxr]][:, None] + draws]
+    return np.concatenate(
+        [
+            pos_vals[None, :],
+            negs.T.astype(np.int32),
+            pos_row[None, :].astype(np.int32),
+        ]
+    )
+
+
+def sample_pos_neg_infonce_loop(
+    rng: np.random.Generator,
+    imp_rev: np.ndarray,
+    imp_lens: np.ndarray,
+    labels_flat: np.ndarray,
+    num_neg_per_pos: int = 5,
+) -> np.ndarray:
+    """Per-impression loop transliteration of the reference InfoNCE sampler —
+    the distribution oracle for ``sample_pos_neg_infonce``."""
     offsets = lengths_to_offsets(imp_lens)
     pos_out: list[np.ndarray] = []
     neg_cols: list[list[np.ndarray]] = [[] for _ in range(num_neg_per_pos)]

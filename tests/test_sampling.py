@@ -146,3 +146,70 @@ def test_gather_end_aligned_empty():
         out_rows=3,
     )
     assert idx.shape == (3, 4) and mask.sum() == 0
+
+
+def test_vectorized_pair_sampler_matches_loop_distribution(rng):
+    """The vectorized sampler (random-key segment sorts) must reproduce the
+    loop oracle's per-impression marginals: identical pair counts, and on a
+    single impression the without-replacement side selects each item equally
+    often across resamples."""
+    from news_recommendation_project_v2_tpu.data.sampling import (
+        sample_pos_neg_pairs_loop,
+    )
+
+    c = make_compiled(rng)
+    vec = sample_pos_neg_pairs(np.random.default_rng(0), c.imp_rev, c.imp_lens, c.labels_flat)
+    loop = sample_pos_neg_pairs_loop(np.random.default_rng(0), c.imp_rev, c.imp_lens, c.labels_flat)
+    np.testing.assert_array_equal(vec[2], loop[2])  # same per-impression counts
+
+    # One impression: 2 pos, 6 neg -> 6 pairs; each pos must appear 3x per
+    # draw on average, each neg exactly once per draw.
+    imp_rev = np.array([0, 1, 2, 3, 4, 5, 6, 7], dtype=np.int32)
+    lens = np.array([8], dtype=np.int64)
+    labels = np.array([1, 1, 0, 0, 0, 0, 0, 0], dtype=np.int64)
+    draws = 400
+    r = np.random.default_rng(7)
+    pos_counts = np.zeros(2)
+    for _ in range(draws):
+        out = sample_pos_neg_pairs(r, imp_rev, lens, labels)
+        assert out.shape[1] == 6
+        assert sorted(out[1].tolist()) == [2, 3, 4, 5, 6, 7]  # negs exactly once
+        for v in out[0]:
+            pos_counts[v] += 1
+        assert set(out[0].tolist()) == {0, 1}  # keep-all when oversampling
+    freq = pos_counts / pos_counts.sum()
+    np.testing.assert_allclose(freq, [0.5, 0.5], atol=0.05)
+
+
+def test_vectorized_infonce_sampler_matches_loop_distribution(rng):
+    """Vectorized InfoNCE: same layout/padding as the loop oracle; negatives
+    uniform without replacement per positive."""
+    from news_recommendation_project_v2_tpu.data.sampling import (
+        sample_pos_neg_infonce_loop,
+    )
+
+    c = make_compiled(rng)
+    vec = sample_pos_neg_infonce(np.random.default_rng(0), c.imp_rev, c.imp_lens, c.labels_flat, 5)
+    loop = sample_pos_neg_infonce_loop(np.random.default_rng(0), c.imp_rev, c.imp_lens, c.labels_flat, 5)
+    assert vec.shape == loop.shape
+    np.testing.assert_array_equal(vec[0], loop[0])   # positives in original order
+    np.testing.assert_array_equal(vec[-1], loop[-1])  # row ids
+    # Padding rows (-1) appear at identical places (few-negative impressions
+    # reuse the same padded list; reference quirk).
+    np.testing.assert_array_equal(vec[1:-1] == -1, loop[1:-1] == -1)
+
+    # Uniformity: one impression with 1 pos, 8 negs, k=4 -> each neg chosen
+    # with probability 1/2 per draw.
+    imp_rev = np.arange(9, dtype=np.int32)
+    lens = np.array([9], dtype=np.int64)
+    labels = np.array([1] + [0] * 8, dtype=np.int64)
+    r = np.random.default_rng(3)
+    counts = np.zeros(9)
+    draws = 500
+    for _ in range(draws):
+        out = sample_pos_neg_infonce(r, imp_rev, lens, labels, 4)
+        chosen = out[1:-1, 0]
+        assert len(set(chosen.tolist())) == 4  # without replacement
+        for v in chosen:
+            counts[v] += 1
+    np.testing.assert_allclose(counts[1:] / draws, [0.5] * 8, atol=0.08)
