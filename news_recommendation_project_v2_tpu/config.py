@@ -177,6 +177,7 @@ class EncoderConfig:
     num_kv_heads: Optional[int] = None  # GQA; None -> num_heads (MHA)
     head_dim: Optional[int] = None  # None -> hidden_dim // num_heads
     rope_theta: float = 10000.0
+    qkv_bias: bool = True  # Qwen2 biases q/k/v; HF config field attention_bias
 
 
 @dataclasses.dataclass(frozen=True)

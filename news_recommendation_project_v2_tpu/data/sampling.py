@@ -256,7 +256,12 @@ def sample_pos_neg_infonce(
         n = num_neg[pos_row[idxr]]
         draws = np.empty((len(idxr), k), np.int64)
         pending = np.arange(len(idxr))
-        while len(pending):
+        # Round cap: acceptance is ~k!/k^k for rows with n == k (fine for the
+        # default k=5, hopeless for k ~ 20), so stragglers fall back to the
+        # exact sequential order-mapping scheme below.
+        for _ in range(8 * k):
+            if not len(pending):
+                break
             cand = (rng.random((len(pending), k)) * n[pending][:, None]).astype(
                 np.int64
             )
@@ -264,6 +269,20 @@ def sample_pos_neg_infonce(
             ok = (srt[:, 1:] != srt[:, :-1]).all(axis=1)
             draws[pending[ok]] = cand[ok]
             pending = pending[~ok]
+        if len(pending):
+            # Sequential conditional draws with order-mapping (Fisher-Yates
+            # equivalent, also exactly rng.choice(replace=False)): the j-th
+            # draw is uniform over the n-j unused indices, shifted past the
+            # already-drawn ones in ascending order. O(pending * k^2 / 2).
+            sub = np.empty((len(pending), k), np.int64)
+            npend = n[pending]
+            for j in range(k):
+                u = (rng.random(len(pending)) * (npend - j)).astype(np.int64)
+                prior = np.sort(sub[:, :j], axis=1)
+                for jj in range(j):
+                    u += u >= prior[:, jj]
+                sub[:, j] = u
+            draws[pending] = sub
         negs[idxr] = neg_vals[neg_off[:-1][pos_row[idxr]][:, None] + draws]
     return np.concatenate(
         [
@@ -316,6 +335,66 @@ def sample_pos_neg_infonce_loop(
         + [np.concatenate(c).astype(np.int32) for c in neg_cols]
         + [row_ids]
     )
+
+
+def sample_epoch_pairs(
+    rng: np.random.Generator,
+    imp_rev: np.ndarray,
+    imp_lens: np.ndarray,
+    labels_flat: np.ndarray,
+    loss: str = "margin",
+    num_neg_per_pos: int = 5,
+    max_neg_ratio: Optional[float] = None,
+    max_pos_ratio: Optional[float] = None,
+    batch_size: Optional[int] = None,
+) -> tuple[np.ndarray, Optional[np.ndarray]]:
+    """One epoch's shuffled pair stream — the single prologue shared by every
+    trainer (they must stay layout-identical or the flat/padded equal-trajectory
+    guarantee breaks). Returns ``(pairs, negs)``:
+
+    - margin: ``pairs`` [3, total] (pos, neg, row), ``negs`` None;
+    - infonce: ``pairs`` [2, total] (pos, row), ``negs`` [K, total] (-1 pad).
+
+    ``batch_size`` selects the permutation: batch-aligned blocks (tower
+    trainers, reference ``reset()``) or a full permutation when None
+    (classification, reference DataLoader ``shuffle=True``)."""
+    if loss == "infonce":
+        raw = sample_pos_neg_infonce(
+            rng, imp_rev, imp_lens, labels_flat, num_neg_per_pos
+        )
+        pairs = np.concatenate([raw[:1], raw[-1:]], axis=0)
+        negs = raw[1:-1]
+    else:
+        pairs = sample_pos_neg_pairs(
+            rng, imp_rev, imp_lens, labels_flat, max_neg_ratio, max_pos_ratio
+        )
+        negs = None
+    perm = (
+        batch_aligned_permutation(rng, pairs.shape[1], batch_size)
+        if batch_size is not None
+        else rng.permutation(pairs.shape[1])
+    )
+    pairs = pairs[:, perm]
+    if negs is not None:
+        negs = negs[:, perm]
+    return pairs, negs
+
+
+def neg_batch_column(
+    pairs: np.ndarray,
+    negs: Optional[np.ndarray],
+    start: int,
+    stop: int,
+    pad: int,
+) -> np.ndarray:
+    """The batch's negative column: [b] (margin) or [b, K] with -1 padding
+    (infonce), padded to the static batch size."""
+    neg = negs[:, start:stop].T if negs is not None else pairs[1, start:stop]
+    if neg.ndim == 2:
+        return np.pad(
+            neg.astype(np.int32), ((0, pad), (0, 0)), constant_values=-1
+        )
+    return np.pad(neg.astype(np.int32), (0, pad))
 
 
 def batch_aligned_permutation(

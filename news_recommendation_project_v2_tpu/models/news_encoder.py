@@ -102,6 +102,7 @@ class DecoderLayer(nn.Module):
     head_dim: int
     intermediate_dim: int
     rms_norm_eps: float = 1e-6
+    qkv_bias: bool = True  # Qwen2 carries q/k/v biases; Qwen3-style do not
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -117,9 +118,15 @@ class DecoderLayer(nn.Module):
         x = nn.RMSNorm(
             epsilon=self.rms_norm_eps, dtype=self.dtype, name="input_norm"
         )(hidden)
-        q = nn.Dense(h * hd, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(kv * hd, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(kv * hd, dtype=self.dtype, name="v_proj")(x)
+        q = nn.Dense(
+            h * hd, use_bias=self.qkv_bias, dtype=self.dtype, name="q_proj"
+        )(x)
+        k = nn.Dense(
+            kv * hd, use_bias=self.qkv_bias, dtype=self.dtype, name="k_proj"
+        )(x)
+        v = nn.Dense(
+            kv * hd, use_bias=self.qkv_bias, dtype=self.dtype, name="v_proj"
+        )(x)
         q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, kv, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, kv, hd).transpose(0, 2, 1, 3)
@@ -224,7 +231,11 @@ class NewsEncoder(nn.Module):
         cos, sin = _rope_cos_sin(jnp.arange(t), hd, cfg.rope_theta, dtype)
         causal = jnp.tril(jnp.ones((t, t), bool))
         keep = causal[None, None] & (mask[:, None, None, :] > 0)
-        attn_bias = jnp.where(keep, 0.0, float(jnp.finfo(jnp.float32).min))
+        # Finite min of the COMPUTE dtype (like the bert path): f32's min
+        # rounds to -inf in bfloat16, and an all-pad row (batch padding) would
+        # then softmax to NaN instead of the harmless uniform distribution —
+        # padded rows must stay NaN-inert (CLAUDE.md invariant).
+        attn_bias = jnp.where(keep, 0.0, float(jnp.finfo(dtype).min))
         for i in range(cfg.num_layers):
             hidden = DecoderLayer(
                 cfg.hidden_dim,
@@ -233,6 +244,7 @@ class NewsEncoder(nn.Module):
                 hd,
                 cfg.intermediate_dim,
                 rms_norm_eps=cfg.layer_norm_eps,
+                qkv_bias=cfg.qkv_bias,
                 dtype=dtype,
                 name=f"layer_{i}",
             )(hidden, cos, sin, attn_bias)
@@ -353,8 +365,19 @@ def _convert_qwen2_state_dict(
         "word_embeddings": {"embedding": g("embed_tokens.weight")},
         "final_norm": {"scale": g("norm.weight")},
     }
-    # Qwen2 q/k/v carry biases; o_proj and the MLP do not.
-    qkv_bias = "layers.0.self_attn.q_proj.bias" in state_dict
+    # q/k/v bias presence must agree with the module (EncoderConfig.qkv_bias,
+    # filled from the HF config's attention_bias by encoder_config_from_hf);
+    # a checkpoint that disagrees gets a clear error, not a flax
+    # missing-parameter failure deep inside apply.
+    has_bias = "layers.0.self_attn.q_proj.bias" in state_dict
+    if has_bias != config.qkv_bias:
+        raise ValueError(
+            f"checkpoint qkv bias presence ({has_bias}) does not match "
+            f"EncoderConfig.qkv_bias ({config.qkv_bias}); set "
+            "EncoderConfig(qkv_bias=...) to match the checkpoint (HF config "
+            "field: attention_bias)"
+        )
+    qkv_bias = config.qkv_bias
     for i in range(config.num_layers):
         p = f"layers.{i}"
         params[f"layer_{i}"] = {
@@ -418,6 +441,8 @@ def encoder_config_from_hf(hf_config: dict, **overrides) -> EncoderConfig:
         num_kv_heads=hf_config.get("num_key_value_heads"),
         head_dim=hf_config.get("head_dim"),
         rope_theta=hf_config.get("rope_theta", 10000.0),
+        # Qwen2 always biases q/k/v; Qwen3-style configs expose attention_bias.
+        qkv_bias=hf_config.get("attention_bias", True),
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 

@@ -36,7 +36,7 @@ import optax
 from ..config import HISTORY_BUCKETS, TrainConfig, bucket_for, bucket_for_open
 from ..data.compiler import CompiledBehaviors
 from ..data.grouping import gather_end_aligned, lengths_to_offsets
-from ..data.sampling import batch_aligned_permutation, sample_pos_neg_pairs
+from ..data.sampling import neg_batch_column, sample_epoch_pairs
 from ..eval.ranker import compose_final_scores, history_candidate_slots
 from ..ops.scoring import score_all_impressions
 from .checkpoint import BestTracker
@@ -414,7 +414,9 @@ class TowerTrainer(ResumableTrainer):
                 # Batch-arg shardings = the step's in_shardings after the
                 # (params, opt_state, tables x2) prefix, before the key.
                 shardings = (
-                    flat_tower_step_shardings(mesh)
+                    flat_tower_step_shardings(
+                        mesh, infonce=cfg.loss == "infonce"
+                    )
                     if flat_train
                     else tower_step_shardings(mesh)
                 )
@@ -488,46 +490,26 @@ class TowerTrainer(ResumableTrainer):
         static (batch_size, bucket) shapes. With ``cfg.loss == "infonce"`` the
         negative column becomes [B, K] with -1 padding."""
         cfg = self.cfg
-        if cfg.loss == "infonce":
-            from ..data.sampling import sample_pos_neg_infonce
-
-            raw = sample_pos_neg_infonce(
-                self.rng,
-                self.ct.imp_rev,
-                self.ct.imp_lens,
-                self.ct.labels_flat,
-                cfg.num_neg_per_pos,
-            )
-            # Reshape to the (pos, neg, row) triple layout: neg as [K, total].
-            pairs = np.concatenate([raw[:1], raw[-1:]], axis=0)
-            negs = raw[1:-1]
-        else:
-            pairs = sample_pos_neg_pairs(
-                self.rng,
-                self.ct.imp_rev,
-                self.ct.imp_lens,
-                self.ct.labels_flat,
-                cfg.max_neg_ratio,
-                cfg.max_pos_ratio,
-            )
-            negs = None
-        # Row-level permutation before pairing batches (reference permutes
-        # impressions inside reset(); pair order follows impression order).
-        perm = batch_aligned_permutation(self.rng, pairs.shape[1], cfg.batch_size)
-        pairs = pairs[:, perm]
-        if negs is not None:
-            negs = negs[:, perm]
+        # Shared epoch prologue (sampling + batch-aligned permutation) — one
+        # implementation for every trainer so the flat/padded equal-trajectory
+        # guarantee can't silently diverge.
+        pairs, negs = sample_epoch_pairs(
+            self.rng,
+            self.ct.imp_rev,
+            self.ct.imp_lens,
+            self.ct.labels_flat,
+            loss=cfg.loss,
+            num_neg_per_pos=cfg.num_neg_per_pos,
+            max_neg_ratio=cfg.max_neg_ratio,
+            max_pos_ratio=cfg.max_pos_ratio,
+            batch_size=cfg.batch_size,
+        )
         B = cfg.batch_size
         total = pairs.shape[1]
         offsets = self._hist_offsets
         for start in range(0, total, B):
             stop = min(start + B, total)
             pos = pairs[0, start:stop]
-            neg = (
-                negs[:, start:stop].T  # [b, K]
-                if negs is not None
-                else pairs[1, start:stop]
-            )
             rows = pairs[-1, start:stop]
             uniq_rows, rev = np.unique(rows, return_inverse=True)
             max_len = int(self.ct.hist_lens[uniq_rows].max())
@@ -541,11 +523,7 @@ class TowerTrainer(ResumableTrainer):
                 out_rows=B,
             )
             pad = B - (stop - start)
-            neg_padded = (
-                np.pad(neg.astype(np.int32), ((0, pad), (0, 0)), constant_values=-1)
-                if neg.ndim == 2
-                else np.pad(neg.astype(np.int32), (0, pad))
-            )
+            neg_padded = neg_batch_column(pairs, negs, start, stop, pad)
             yield (
                 hist_idx,
                 hist_mask,
@@ -563,41 +541,21 @@ class TowerTrainer(ResumableTrainer):
         cfg = self.cfg
         cap = self.buckets[-1]
         offsets = self._hist_offsets
-        if cfg.loss == "infonce":
-            from ..data.sampling import sample_pos_neg_infonce
-
-            raw = sample_pos_neg_infonce(
-                self.rng,
-                self.ct.imp_rev,
-                self.ct.imp_lens,
-                self.ct.labels_flat,
-                cfg.num_neg_per_pos,
-            )
-            pairs = np.concatenate([raw[:1], raw[-1:]], axis=0)
-            negs = raw[1:-1]  # [K, total]
-        else:
-            pairs = sample_pos_neg_pairs(
-                self.rng,
-                self.ct.imp_rev,
-                self.ct.imp_lens,
-                self.ct.labels_flat,
-                cfg.max_neg_ratio,
-                cfg.max_pos_ratio,
-            )
-            negs = None
-        perm = batch_aligned_permutation(self.rng, pairs.shape[1], cfg.batch_size)
-        pairs = pairs[:, perm]
-        if negs is not None:
-            negs = negs[:, perm]
+        pairs, negs = sample_epoch_pairs(
+            self.rng,
+            self.ct.imp_rev,
+            self.ct.imp_lens,
+            self.ct.labels_flat,
+            loss=cfg.loss,
+            num_neg_per_pos=cfg.num_neg_per_pos,
+            max_neg_ratio=cfg.max_neg_ratio,
+            max_pos_ratio=cfg.max_pos_ratio,
+            batch_size=cfg.batch_size,
+        )
         B = cfg.batch_size
         for start in range(0, pairs.shape[1], B):
             stop = min(start + B, pairs.shape[1])
             pos = pairs[0, start:stop]
-            neg = (
-                negs[:, start:stop].T  # [b, K]
-                if negs is not None
-                else pairs[1, start:stop]
-            )
             rows = pairs[-1, start:stop]
             uniq_rows, rev = np.unique(rows, return_inverse=True)
             lens = np.minimum(self.ct.hist_lens[uniq_rows], cap).astype(np.int64)
@@ -617,11 +575,7 @@ class TowerTrainer(ResumableTrainer):
             lens_arr = np.zeros(B, np.float32)
             lens_arr[: len(uniq_rows)] = lens
             pad = B - (stop - start)
-            neg_padded = (
-                np.pad(neg.astype(np.int32), ((0, pad), (0, 0)), constant_values=-1)
-                if neg.ndim == 2
-                else np.pad(neg.astype(np.int32), (0, pad))
-            )
+            neg_padded = neg_batch_column(pairs, negs, start, stop, pad)
             yield (
                 tok_idx,
                 tok_rows,
@@ -1069,12 +1023,11 @@ class EndToEndTrainer(ResumableTrainer):
 
     def _epoch_batches(self) -> Iterator[tuple]:
         cfg = self.cfg
-        pairs = sample_pos_neg_pairs(
+        pairs, _ = sample_epoch_pairs(
             self.rng, self.ct.imp_rev, self.ct.imp_lens, self.ct.labels_flat,
-            cfg.max_neg_ratio, cfg.max_pos_ratio,
+            max_neg_ratio=cfg.max_neg_ratio, max_pos_ratio=cfg.max_pos_ratio,
+            batch_size=cfg.batch_size,
         )
-        perm = batch_aligned_permutation(self.rng, pairs.shape[1], cfg.batch_size)
-        pairs = pairs[:, perm]
         B = cfg.batch_size
         offsets = self._hist_offsets
         for start in range(0, pairs.shape[1], B):
@@ -1375,42 +1328,28 @@ class ClassificationTrainer(ResumableTrainer):
 
     def train_one_epoch(self) -> float:
         cfg = self.cfg
-        if cfg.loss == "infonce":
-            from ..data.sampling import sample_pos_neg_infonce
-
-            raw = sample_pos_neg_infonce(
-                self.rng,
-                self.ct.imp_rev,
-                self.ct.imp_lens,
-                self.ct.labels_flat,
-                cfg.num_neg_per_pos,
-            )
-            pairs = np.concatenate([raw[:1], raw[-1:]], axis=0)
-            negs = raw[1:-1]
-        else:
-            pairs = sample_pos_neg_pairs(
-                self.rng, self.ct.imp_rev, self.ct.imp_lens, self.ct.labels_flat
-            )
-            negs = None
-        perm = self.rng.permutation(pairs.shape[1])
-        pairs = pairs[:, perm]
-        if negs is not None:
-            negs = negs[:, perm]
+        # Shared epoch prologue; batch_size=None = full permutation (the
+        # reference classification DataLoader shuffles items freely).
+        pairs, negs = sample_epoch_pairs(
+            self.rng,
+            self.ct.imp_rev,
+            self.ct.imp_lens,
+            self.ct.labels_flat,
+            loss=cfg.loss,
+            num_neg_per_pos=cfg.num_neg_per_pos,
+            batch_size=None,
+        )
         B = cfg.batch_size
         losses, counts = [], []
         for start in range(0, pairs.shape[1], B):
             stop = min(start + B, pairs.shape[1])
             pad = B - (stop - start)
             pos = np.pad(pairs[0, start:stop].astype(np.int32), (0, pad))
-            if negs is not None:
-                neg = np.pad(
-                    negs[:, start:stop].T.astype(np.int32),
-                    ((0, pad), (0, 0)),
-                    constant_values=-1,
-                )
-            else:
-                neg = np.pad(pairs[1, start:stop].astype(np.int32), (0, pad))
+            neg = neg_batch_column(pairs, negs, start, stop, pad)
             mask = np.pad(np.ones(stop - start, np.float32), (0, pad))
+            # Count from the HOST array, before device placement (a device
+            # mask.sum() fetch would defeat loss_sync_every's queue bound).
+            counts.append(float(mask.sum()))
             if self._multiprocess:
                 # Identical rng streams per process; each process commits its
                 # addressable shards (see TowerTrainer.train_one_epoch).
@@ -1431,7 +1370,6 @@ class ClassificationTrainer(ResumableTrainer):
             losses.append(loss)
             if len(losses) % max(1, cfg.loss_sync_every) == 0:
                 losses[-1] = float(losses[-1])  # queue bound (see TowerTrainer)
-            counts.append(float(mask.sum()))
         losses = [float(x) for x in losses]
         return float(np.dot(losses, counts) / np.sum(counts))
 

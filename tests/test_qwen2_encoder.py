@@ -145,3 +145,37 @@ def test_unsupported_architecture_is_a_designed_boundary():
     for arch in ("NVEmbedModel", "NewModel", "MistralModel"):
         with pytest.raises(ValueError, match="not supported; supported"):
             encoder_config_from_hf({**BASE_HF, "architectures": [arch]})
+
+
+def test_qwen2_bf16_pad_rows_are_nan_inert(qwen2_ref, rng):
+    """Regression: the causal+padding bias must use the COMPUTE dtype's finite
+    min — f32's min rounds to -inf in bfloat16 and an all-pad (batch padding)
+    row would softmax to NaN, violating the pad-rows-are-inert invariant."""
+    cfg = encoder_config_from_hf(
+        {**BASE_HF, "architectures": ["Qwen2ForCausalLM"]},
+        compute_dtype="bfloat16",
+        normalize=False,
+    )
+    variables = convert_hf_state_dict(_sd(qwen2_ref), cfg)
+    ids = rng.integers(3, BASE_HF["vocab_size"], size=(2, 6)).astype(np.int32)
+    mask = np.ones((2, 6), np.int32)
+    mask[1] = 0  # an all-pad batch-padding row
+    ids = ids * mask
+    enc = NewsEncoder(cfg)
+    got = np.asarray(
+        enc.apply(variables, jnp.asarray(ids), jnp.asarray(mask),
+                  method=NewsEncoder.hidden_states)
+    )
+    assert np.isfinite(got).all(), "pad row produced NaN/Inf hidden states"
+
+
+def test_qwen2_bias_mismatch_is_a_clear_error(qwen2_ref):
+    """A checkpoint whose q/k/v bias presence disagrees with
+    EncoderConfig.qkv_bias raises at CONVERT time with an actionable message,
+    not a flax missing-parameter failure inside apply."""
+    cfg = encoder_config_from_hf(
+        {**BASE_HF, "architectures": ["Qwen2ForCausalLM"], "attention_bias": False},
+    )
+    assert cfg.qkv_bias is False
+    with pytest.raises(ValueError, match="qkv bias"):
+        convert_hf_state_dict(_sd(qwen2_ref), cfg)  # checkpoint HAS biases

@@ -213,3 +213,18 @@ def test_vectorized_infonce_sampler_matches_loop_distribution(rng):
         for v in chosen:
             counts[v] += 1
     np.testing.assert_allclose(counts[1:] / draws, [0.5] * 8, atol=0.08)
+
+
+def test_infonce_sampler_large_k_terminates():
+    """Regression: with num_neg_per_pos == num_neg the rejection sampler's
+    acceptance is k!/k^k (hopeless for k ~ 20); the bounded-round fallback to
+    order-mapping must keep sampling instant and exact."""
+    k = 20
+    imp_rev = np.arange(21, dtype=np.int32)
+    lens = np.array([21], dtype=np.int64)
+    labels = np.array([1] + [0] * 20, dtype=np.int64)
+    r = np.random.default_rng(0)
+    out = sample_pos_neg_infonce(r, imp_rev, lens, labels, k)
+    chosen = out[1:-1, 0]
+    assert len(set(chosen.tolist())) == k  # all distinct (exact w/o replacement)
+    assert set(chosen.tolist()) <= set(range(1, 21))
