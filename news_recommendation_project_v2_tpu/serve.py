@@ -237,9 +237,15 @@ class Ranker:
         for item in prepared:
             by_shape.setdefault((item[4], item[5]), []).append(item)
         for (L, C), group in by_shape.items():
-            B = len(group)
+            # Pad the group's batch axis up to a power of two: without it,
+            # every distinct group size compiles a fresh XLA program — an
+            # unbounded jit-cache/compile surface on the batch dim (pad rows
+            # get one live history token so the tower stays NaN-inert; their
+            # scores are dropped below).
+            B = 1 << (len(group) - 1).bit_length()
             hist_idx = np.zeros((B, L), np.int32)
             hist_mask = np.zeros((B, L), np.float32)
+            hist_mask[len(group):, 0] = 1.0
             cand_idx = np.zeros((B, C), np.int32)
             for j, (_, _, hist, known, _, _) in enumerate(group):
                 hist_idx[j, : len(hist)] = hist

@@ -158,3 +158,31 @@ def test_warmup_covers_every_rank_program(rng):
     brute = emb @ user
     for i in (0, 15, 16, 17, 899):
         assert got[f"N{i}"] == pytest.approx(float(brute[i]), abs=2e-4)
+
+
+def test_rank_batch_pads_group_batch_to_pow2(rng):
+    """The batch path's group size is padded to a power of two so distinct
+    request counts reuse compiled programs instead of growing the jit cache
+    without bound; results must be unaffected by the inert pad rows."""
+    from news_recommendation_project_v2_tpu.serve import _rank_many
+
+    emb = rng.standard_normal((30, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"N{i}" for i in range(30)]
+    r = Ranker(lambda p, e, m: average_pool(e, m), None, emb, ids)
+    # Sizes 5, 6, 7, 8 all pad to B=8 -> ONE compiled program.
+    before = _rank_many._cache_size()
+    outs = {}
+    for n_req in (5, 6, 7, 8):
+        reqs = [(["N0", f"N{i+1}"], [f"N{j}" for j in range(5)]) for i in range(n_req)]
+        outs[n_req] = r.rank_batch(reqs)
+    assert _rank_many._cache_size() - before == 1
+    for n_req, batch in outs.items():
+        for req, got in zip(
+            [(["N0", f"N{i+1}"], [f"N{j}" for j in range(5)]) for i in range(n_req)],
+            batch,
+        ):
+            single = r.rank(*req)
+            assert [c for c, _ in got] == [c for c, _ in single]
+            for (c1, s1), (c2, s2) in zip(got, single):
+                assert s1 == pytest.approx(s2, abs=1e-5)
