@@ -369,11 +369,26 @@ def sample_epoch_pairs(
             rng, imp_rev, imp_lens, labels_flat, max_neg_ratio, max_pos_ratio
         )
         negs = None
-    perm = (
-        batch_aligned_permutation(rng, pairs.shape[1], batch_size)
-        if batch_size is not None
-        else rng.permutation(pairs.shape[1])
-    )
+    if batch_size is not None:
+        # Reference reset() permutes impression ORDER before sampling
+        # (data_utils.py:624-631): every epoch's batches group RANDOM
+        # impressions (one impression's pairs stay contiguous — the batch
+        # history-dedup win). Equivalent segment permutation of the
+        # impression-major pair stream, then whole-block shuffle.
+        seg_perm = rng.permutation(len(imp_lens))
+        counts = np.bincount(
+            pairs[-1].astype(np.int64), minlength=len(imp_lens)
+        )
+        off = lengths_to_offsets(counts)
+        new_counts = counts[seg_perm]
+        new_off = lengths_to_offsets(new_counts)
+        within = np.arange(pairs.shape[1]) - np.repeat(
+            new_off[:-1], new_counts
+        )
+        order = np.repeat(off[:-1][seg_perm], new_counts) + within
+        perm = order[batch_aligned_permutation(rng, pairs.shape[1], batch_size)]
+    else:
+        perm = rng.permutation(pairs.shape[1])
     pairs = pairs[:, perm]
     if negs is not None:
         negs = negs[:, perm]
