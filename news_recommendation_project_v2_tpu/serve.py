@@ -160,7 +160,8 @@ class Ranker:
         largest fixed bucket (``_chunk_sizes``), this covers EVERY program
         ``rank``/``retrieve`` can ever hit — a post-warmup request costs zero
         compiles regardless of candidate count (tested). ``rank_batch``
-        programs additionally vary in the request-group batch dimension.
+        additionally varies in the request-group batch dimension, bounded to
+        log-many programs by power-of-two padding.
         Returns the number of programs warmed."""
         hb = list(history_buckets or self.buckets)
         cb = list(candidate_buckets or self.candidate_buckets)

@@ -21,7 +21,6 @@ re-architected TPU-first:
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 from datetime import datetime
@@ -329,7 +328,7 @@ class TowerTrainer(ResumableTrainer):
         buckets: tuple[int, ...] = HISTORY_BUCKETS,
         mesh=None,  # jax.sharding.Mesh: run train steps + eval data-parallel
         flat_eval: bool = False,  # token-local towers only (supports_flat_scoring)
-        flat_train: bool = False,  # flat-token train step (token-local, margin)
+        flat_train: bool = False,  # flat-token train step (token-local towers)
         device_metrics: bool = False,  # fused eval->metrics (flat_eval only)
     ):
         assert len(compiled_train.hist_lens) == compiled_train.num_rows, (
@@ -764,6 +763,11 @@ class JointTowerTrainer(TowerTrainer):
         assert cfg.loss != "infonce", (
             "JointTowerTrainer supports margin-ranking only (the reference's "
             "joint trainers are margin-only too); use TowerTrainer for InfoNCE"
+        )
+        assert not kwargs.get("flat_train"), (
+            "JointTowerTrainer runs the padded joint step (blend/reduce "
+            "consume per-pair baseline columns); flat_train applies to "
+            "TowerTrainer only"
         )
         joint_params = {"tower": tower_params}
         if blend_apply is not None:
