@@ -1,8 +1,15 @@
 """Pipeline-level behavioral parity against the reference's ACTUAL torch
-training loops: ``ClassificationModelTrainer`` and ``AttentionTrainer``
-(imported read-only from /root/reference, run on CPU) head-to-head against our
-``ClassificationTrainer`` / ``TowerTrainer`` on the SAME behaviors fixture with
-weight-converted identical initializations.
+training loops: ``ClassificationModelTrainer``, ``AttentionTrainer``,
+``AttentionWeightTrainer``, and ``AttentionReduceTrainer`` (imported read-only
+from /root/reference, run on CPU) head-to-head against our
+``ClassificationTrainer`` / ``TowerTrainer`` / ``JointTowerTrainer`` on the
+SAME behaviors fixture with weight-converted identical initializations —
+four of the reference's five trainer families. The fifth
+(``AttentionAttentionTrainer``) cannot run offline: its token-attention head
+loads through ``AutoModel(..., trust_remote_code=True)`` from a remote model
+repo (``modeling_utils.py:420-427``); its building blocks are covered instead
+by the forward-parity tests (``test_tower_parity.py`` converts and matches
+``FirstAttentionPoolFunc``) and the e2e trainer's own suites.
 
 Controlled comparison design (this is what makes exactness possible):
 
@@ -314,3 +321,223 @@ def test_attention_trainer_head_to_head(h2h, monkeypatch):
         assert history[-1]["val"][key] == pytest.approx(
             ref_metrics[key], abs=1e-3
         ), key
+
+
+def test_attention_weight_trainer_head_to_head(h2h, monkeypatch):
+    """Our JointTowerTrainer(blend) reproduces the reference
+    AttentionWeightTrainer (joint FinalAttention + WeightedSum over
+    classification baselines, ``trainer.py:217-436``), dropout zeroed."""
+    import news_rec_utils.data_model_helper as ref_helper_mod
+    import news_rec_utils.trainer as ref_trainer_mod
+    from news_rec_utils.data_model_helper import get_cos_sim_final_score
+    from news_rec_utils.data_utils import rank_group_preds
+    from news_rec_utils.evaluation import score as ref_score
+    from news_rec_utils.modeling_utils import (
+        FinalAttention as RefFA,
+        WeightedSumModel as RefWS,
+    )
+
+    from news_recommendation_project_v2_tpu.models import WeightedSumModel
+    from news_recommendation_project_v2_tpu.models.convert_towers import (
+        convert_weighted_sum,
+    )
+    from news_recommendation_project_v2_tpu.train import JointTowerTrainer
+
+    ref, ours, emb = h2h
+    monkeypatch.setattr(
+        ref_trainer_mod, "get_attention_train_batch_size", lambda m, o: BATCH
+    )
+    monkeypatch.setattr(
+        ref_helper_mod, "get_attention_inference_batch_size", lambda m: 2 * BATCH
+    )
+    monkeypatch.setattr(ref_trainer_mod, "NUM_WORKERS", 0)
+    monkeypatch.setattr(ref_helper_mod, "NUM_WORKERS", 0)
+
+    torch.manual_seed(2)
+    ref_model = RefFA(reduced_dim=D, hidden_dim=HID)
+    for m in ref_model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    ref_ws = RefWS()
+    with torch.no_grad():
+        ref_ws.alpha.copy_(torch.tensor(0.25))
+    init_tower = convert_final_attention(_sd(ref_model))
+    init_blend = convert_weighted_sum(_sd(ref_ws))
+    baseline = (
+        np.random.default_rng(9).random(len(emb)).astype(np.float32) - 0.5
+    )
+
+    emb_t = torch.from_numpy(emb)
+    ref_tr = ref_trainer_mod.AttentionWeightTrainer(
+        ref_model,
+        ref_ws,
+        train_history_rev_index=ref["history_rev_ind_array"][0],
+        train_history_len_list=ref["history_len_list"],
+        train_news_rev_index=ref["impression_rev_ind_array"][0],
+        train_impression_len_list=ref["impression_len_list"],
+        train_news_embeddings=emb_t,
+        train_classification_score=baseline,
+        train_labels=ref["labels"],
+        val_history_rev_index=ref["history_rev_ind_array"][0],
+        val_history_len_list=ref["history_len_list"],
+        val_news_rev_index=ref["impression_rev_ind_array"][0],
+        val_impression_len_list=ref["impression_len_list"],
+        val_news_embeddings=emb_t,
+        val_classification_score=baseline,
+        val_labels=ref["labels"],
+        rng=np.random.default_rng(1234),
+    )
+    ref_losses = []
+    for _ in range(EPOCHS):
+        ref_losses.append(float(ref_tr.train_one_epoch()))
+        ref_tr.train_dataset.reset()
+    ref_metrics = ref_score(
+        rank_group_preds(
+            get_cos_sim_final_score(
+                history_rev_index=ref["history_rev_ind_array"][0],
+                history_len_list=ref["history_len_list"],
+                news_rev_index=ref["impression_rev_ind_array"][0],
+                impression_len_list=ref["impression_len_list"],
+                news_embeddings=emb_t,
+                classification_score=baseline,
+                attention_model=ref_model,
+                weight_model=ref_ws,
+            ),
+            ref["impression_len_list"],
+        ),
+        ref["labels"],
+    )
+
+    tower = FinalAttention(reduced_dim=D, hidden_dim=HID, dropout_rate=0.0)
+    blend = WeightedSumModel()
+    trainer = JointTowerTrainer(
+        tower.apply,
+        init_tower,
+        ours,
+        jnp.asarray(emb),
+        blend_apply=blend.apply,
+        blend_params=init_blend,
+        baseline_train=baseline,
+        baseline_val=baseline,
+        compiled_val=ours,
+        news_emb_val=jnp.asarray(emb),
+        cfg=TrainConfig(num_epochs=EPOCHS, batch_size=BATCH, seed=3),
+    )
+    history = trainer.train()
+    our_losses = [h["loss"] for h in history]
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4, atol=1e-5)
+    _flax_leaves_close(
+        trainer.params["tower"],
+        convert_final_attention(_sd(ref_model)),
+        atol=2e-4,
+        what="final tower params",
+    )
+    _flax_leaves_close(
+        trainer.params["blend"],
+        convert_weighted_sum(_sd(ref_ws)),
+        atol=2e-4,
+        what="final blend params",
+    )
+    for key in METRIC_KEYS:
+        assert history[-1]["val"][key] == pytest.approx(
+            ref_metrics[key], abs=1e-3
+        ), key
+
+
+def test_attention_reduce_trainer_head_to_head(h2h, monkeypatch):
+    """Our JointTowerTrainer(reduce) reproduces the reference
+    AttentionReduceTrainer's TRAINING loop (losses + both models' parameters;
+    reference ``trainer.py:716-949``). Eval metrics are excluded: the
+    reference's reduce eval transforms the tables inconsistently (PARITY.md
+    row 37, documented divergence). Two notes on comparability:
+
+    - the reference applies ``reduce(emb * mask)`` vs our ``reduce(emb) *
+      mask`` — identical on real slots, and padded slots are inert under
+      FinalAttention's masked exp-weights either way;
+    - the reference clips ONLY the attention model's gradients
+      (``trainer.py:860-863``), unlike every other trainer (global clip); at
+      this fixture's scale the global gradient norm stays under the 0.5
+      threshold so the clip is inactive on both sides, which the final-param
+      equality itself verifies.
+    """
+    import news_rec_utils.trainer as ref_trainer_mod
+    from news_rec_utils.modeling_utils import (
+        FinalAttention as RefFA,
+        ReducingModel as RefRM,
+    )
+
+    from news_recommendation_project_v2_tpu.models import ReducingModel
+    from news_recommendation_project_v2_tpu.models.convert_towers import (
+        convert_reducing_model,
+    )
+    from news_recommendation_project_v2_tpu.train import JointTowerTrainer
+
+    ref, ours, emb = h2h
+    monkeypatch.setattr(
+        ref_trainer_mod, "get_attention_train_batch_size", lambda m, o: 2 * BATCH
+    )
+    monkeypatch.setattr(ref_trainer_mod, "NUM_WORKERS", 0)
+
+    torch.manual_seed(3)
+    ref_model = RefFA(reduced_dim=D, hidden_dim=HID)
+    for m in ref_model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    ref_reduce = RefRM(input_dim=D, output_dim=D)
+    init_tower = convert_final_attention(_sd(ref_model))
+    init_reduce = convert_reducing_model(_sd(ref_reduce))
+
+    emb_t = torch.from_numpy(emb)
+    ref_tr = ref_trainer_mod.AttentionReduceTrainer(
+        ref_model,
+        ref_reduce,
+        train_history_rev_index=ref["history_rev_ind_array"][0],
+        train_history_len_list=ref["history_len_list"],
+        train_news_rev_index=ref["impression_rev_ind_array"][0],
+        train_impression_len_list=ref["impression_len_list"],
+        train_news_embeddings=emb_t,
+        train_labels=ref["labels"],
+        val_history_rev_index=ref["history_rev_ind_array"][0],
+        val_history_len_list=ref["history_len_list"],
+        val_news_rev_index=ref["impression_rev_ind_array"][0],
+        val_impression_len_list=ref["impression_len_list"],
+        val_news_embeddings=emb_t,
+        val_labels=ref["labels"],
+        rng=np.random.default_rng(1234),
+    )
+    ref_losses = []
+    for _ in range(EPOCHS):
+        ref_losses.append(float(ref_tr.train_one_epoch()))
+        ref_tr.train_dataset.reset()
+
+    tower = FinalAttention(reduced_dim=D, hidden_dim=HID, dropout_rate=0.0)
+    reducer = ReducingModel(input_dim=D, output_dim=D)
+    trainer = JointTowerTrainer(
+        tower.apply,
+        init_tower,
+        ours,
+        jnp.asarray(emb),
+        reduce_apply=reducer.apply,
+        reduce_params=init_reduce,
+        compiled_val=ours,
+        news_emb_val=jnp.asarray(emb),
+        cfg=TrainConfig(num_epochs=EPOCHS, batch_size=BATCH, seed=3),
+    )
+    losses = []
+    for _ in range(EPOCHS):
+        losses.append(trainer.train_one_epoch())
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4, atol=1e-5)
+    _flax_leaves_close(
+        trainer.params["tower"],
+        convert_final_attention(_sd(ref_model)),
+        atol=2e-4,
+        what="final tower params",
+    )
+    _flax_leaves_close(
+        trainer.params["reduce"],
+        convert_reducing_model(_sd(ref_reduce)),
+        atol=2e-4,
+        what="final reduce params",
+    )
