@@ -20,7 +20,6 @@ import os
 import socket
 import subprocess
 import sys
-import time
 from pathlib import Path
 
 STEPS = 30
@@ -46,7 +45,7 @@ from news_recommendation_project_v2_tpu.config import (
 )
 from news_recommendation_project_v2_tpu.models import build_tower
 from news_recommendation_project_v2_tpu.parallel import (
-    build_mesh, make_sharded_tower_train_step, shard_news_table,
+    build_mesh, make_sharded_tower_train_step,
 )
 from news_recommendation_project_v2_tpu.parallel.sharding import (
     batch_sharding, put_global, replicated,
@@ -107,10 +106,20 @@ if pid == 0:
 """
 
 
-def run(nproc: int, tmp: Path) -> dict:
+def run(nproc: int, tmp: Path, attempts: int = 3) -> dict:
     consts = repr((STEPS, WARMUP, D, N, B_PER_DEV, L))
     script = tmp / f"worker_{nproc}.py"
     script.write_text(WORKER % {"consts": consts})
+    last = None
+    for _ in range(attempts):  # bind-then-close port pick is racy; retry
+        try:
+            return _run_once(nproc, tmp, script)
+        except (AssertionError, subprocess.TimeoutExpired) as e:
+            last = e
+    raise last
+
+
+def _run_once(nproc: int, tmp: Path, script: Path) -> dict:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]

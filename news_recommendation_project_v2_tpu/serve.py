@@ -66,6 +66,10 @@ class Ranker:
     dropped; unknown candidate ids score ``-inf`` and rank last.
     """
 
+    # rank_batch group sizes pad to powers of two up to this cap; larger
+    # groups chunk at it (bounds the compile surface AND the pad waste).
+    BATCH_CAP = 64
+
     def __init__(
         self,
         tower_apply: Callable,  # (params, [B,L,D], [B,L]) -> [B,D]
@@ -151,6 +155,7 @@ class Ranker:
         history_buckets: Optional[Sequence[int]] = None,
         candidate_buckets: Optional[Sequence[int]] = None,
         retrieve_k: Optional[int] = 10,
+        batch_sizes: Sequence[int] = (),
     ) -> int:
         """Pre-compile the jitted programs for the given shape buckets so the
         first real requests don't pay jit latency (remote TPU compiles run
@@ -160,8 +165,11 @@ class Ranker:
         largest fixed bucket (``_chunk_sizes``), this covers EVERY program
         ``rank``/``retrieve`` can ever hit — a post-warmup request costs zero
         compiles regardless of candidate count (tested). ``rank_batch``
-        additionally varies in the request-group batch dimension, bounded to
-        log-many programs by power-of-two padding.
+        additionally varies in the request-group batch dimension (powers of
+        two up to ``BATCH_CAP``); pass the expected ``batch_sizes`` (each
+        rounds to its pow2 bucket) to pre-compile those too — warming the
+        full cross product is usually too many programs for a 30-500s-per-
+        compile link, so the throughput path warms selectively.
         Returns the number of programs warmed."""
         hb = list(history_buckets or self.buckets)
         cb = list(candidate_buckets or self.candidate_buckets)
@@ -176,6 +184,11 @@ class Ranker:
             if retrieve_k:
                 self.retrieve([anchor] * L, k=retrieve_k)
                 n += 1
+            for B in batch_sizes:
+                B = min(max(int(B), 1), self.BATCH_CAP)
+                for C in cb:
+                    self.rank_batch([([anchor] * L, [anchor] * C)] * B)
+                    n += 1
         return n
 
     def retrieve(
@@ -238,36 +251,40 @@ class Ranker:
         for item in prepared:
             by_shape.setdefault((item[4], item[5]), []).append(item)
         for (L, C), group in by_shape.items():
-            # Pad the group's batch axis up to a power of two: without it,
-            # every distinct group size compiles a fresh XLA program — an
-            # unbounded jit-cache/compile surface on the batch dim (pad rows
-            # get one live history token so the tower stays NaN-inert; their
-            # scores are dropped below).
-            B = 1 << (len(group) - 1).bit_length()
-            hist_idx = np.zeros((B, L), np.int32)
-            hist_mask = np.zeros((B, L), np.float32)
-            hist_mask[len(group):, 0] = 1.0
-            cand_idx = np.zeros((B, C), np.int32)
-            for j, (_, _, hist, known, _, _) in enumerate(group):
-                hist_idx[j, : len(hist)] = hist
-                hist_mask[j, : len(hist)] = 1.0
-                cand_idx[j, : len(known)] = np.maximum(known, 0)
-            scores = np.asarray(
-                _rank_many(
-                    self.tower_apply,
-                    self.params,
-                    self.news_emb,
-                    self.query_emb,
-                    jnp.asarray(hist_idx),
-                    jnp.asarray(hist_mask),
-                    jnp.asarray(cand_idx),
+            # The group's batch axis runs at power-of-two sizes capped at
+            # BATCH_CAP (larger groups chunk): without padding, every
+            # distinct group size compiles a fresh XLA program — an unbounded
+            # jit-cache/compile surface on the batch dim; without the cap,
+            # one huge call would pad up to 2x its own size. Pad rows get one
+            # live history token so the tower stays NaN-inert; their scores
+            # are dropped below.
+            for g0 in range(0, len(group), self.BATCH_CAP):
+                chunk = group[g0 : g0 + self.BATCH_CAP]
+                B = 1 << (len(chunk) - 1).bit_length()
+                hist_idx = np.zeros((B, L), np.int32)
+                hist_mask = np.zeros((B, L), np.float32)
+                hist_mask[len(chunk):, 0] = 1.0
+                cand_idx = np.zeros((B, C), np.int32)
+                for j, (_, _, hist, known, _, _) in enumerate(chunk):
+                    hist_idx[j, : len(hist)] = hist
+                    hist_mask[j, : len(hist)] = 1.0
+                    cand_idx[j, : len(known)] = np.maximum(known, 0)
+                scores = np.asarray(
+                    _rank_many(
+                        self.tower_apply,
+                        self.params,
+                        self.news_emb,
+                        self.query_emb,
+                        jnp.asarray(hist_idx),
+                        jnp.asarray(hist_mask),
+                        jnp.asarray(cand_idx),
+                    )
                 )
-            )
-            for j, (req_i, start, _, known, _, _) in enumerate(group):
-                s = np.where(
-                    np.asarray(known) >= 0, scores[j, : len(known)], -np.inf
-                )
-                merged[req_i][start] = s
+                for j, (req_i, start, _, known, _, _) in enumerate(chunk):
+                    s = np.where(
+                        np.asarray(known) >= 0, scores[j, : len(known)], -np.inf
+                    )
+                    merged[req_i][start] = s
 
         results: list = [None] * len(requests)
         for req_i, (_, cand_ids) in enumerate(requests):

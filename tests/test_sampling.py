@@ -228,3 +228,37 @@ def test_infonce_sampler_large_k_terminates():
     chosen = out[1:-1, 0]
     assert len(set(chosen.tolist())) == k  # all distinct (exact w/o replacement)
     assert set(chosen.tolist()) <= set(range(1, 21))
+
+
+def test_epoch_prologue_reshuffles_impressions(rng):
+    """sample_epoch_pairs properties: the emitted stream is a bijection of the
+    sampled pairs, each impression's pairs stay contiguous BEFORE block
+    shuffling (the batch history-dedup win — blocks may cut a run), and the
+    impression order differs between epochs (the reference reset() reshuffle,
+    data_utils.py:624-631)."""
+    from news_recommendation_project_v2_tpu.data.sampling import sample_epoch_pairs
+
+    c = make_compiled(rng, rows=200)
+    r = np.random.default_rng(5)
+    pairs1, _ = sample_epoch_pairs(
+        r, c.imp_rev, c.imp_lens, c.labels_flat, batch_size=64
+    )
+    pairs2, _ = sample_epoch_pairs(
+        r, c.imp_rev, c.imp_lens, c.labels_flat, batch_size=64
+    )
+    # Bijection: per-impression pair counts equal the sampler's invariant.
+    offsets = np.concatenate([[0], np.cumsum(c.imp_lens)])
+    for pairs in (pairs1, pairs2):
+        counts = np.bincount(pairs[-1], minlength=c.num_rows)
+        for i in range(c.num_rows):
+            seg = slice(offsets[i], offsets[i + 1])
+            lab = c.labels_flat[seg]
+            assert counts[i] == max(int(lab.sum()), int((1 - lab).sum()))
+    # Impression order differs across epochs.
+    assert pairs1[-1][:40].tolist() != pairs2[-1][:40].tolist()
+    # Runs of equal row id == unique rows + at most one extra cut per block
+    # boundary (63 interior boundaries at batch_size 64).
+    rows = pairs1[-1]
+    runs = int((np.diff(rows) != 0).sum()) + 1
+    n_blocks = -(-len(rows) // 64)
+    assert runs <= len(np.unique(rows)) + n_blocks, (runs, len(np.unique(rows)))

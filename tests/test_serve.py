@@ -136,6 +136,9 @@ def test_warmup_covers_every_rank_program(rng):
     compiles (asserted via the jit cache size of the underlying programs)."""
     from news_recommendation_project_v2_tpu.serve import _rank_one, _retrieve_one
 
+    if not hasattr(_rank_one, "_cache_size"):  # private jit API; guard upgrades
+        pytest.skip("jit._cache_size unavailable in this JAX version")
+
     n = 900
     emb = rng.standard_normal((n, D)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
@@ -165,6 +168,9 @@ def test_rank_batch_pads_group_batch_to_pow2(rng):
     request counts reuse compiled programs instead of growing the jit cache
     without bound; results must be unaffected by the inert pad rows."""
     from news_recommendation_project_v2_tpu.serve import _rank_many
+
+    if not hasattr(_rank_many, "_cache_size"):  # private jit API; guard upgrades
+        pytest.skip("jit._cache_size unavailable in this JAX version")
 
     emb = rng.standard_normal((30, D)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
