@@ -1,15 +1,16 @@
 """Pipeline-level behavioral parity against the reference's ACTUAL torch
 training loops: ``ClassificationModelTrainer``, ``AttentionTrainer``,
-``AttentionWeightTrainer``, and ``AttentionReduceTrainer`` (imported read-only
+``AttentionWeightTrainer``, ``AttentionReduceTrainer``, and
+``AttentionAttentionTrainer`` (imported read-only
 from /root/reference, run on CPU) head-to-head against our
-``ClassificationTrainer`` / ``TowerTrainer`` / ``JointTowerTrainer`` on the
-SAME behaviors fixture with weight-converted identical initializations —
-four of the reference's five trainer families. The fifth
-(``AttentionAttentionTrainer``) cannot run offline: its token-attention head
-loads through ``AutoModel(..., trust_remote_code=True)`` from a remote model
-repo (``modeling_utils.py:420-427``); its building blocks are covered instead
-by the forward-parity tests (``test_tower_parity.py`` converts and matches
-``FirstAttentionPoolFunc``) and the e2e trainer's own suites.
+``ClassificationTrainer`` / ``TowerTrainer`` / ``JointTowerTrainer`` /
+``EndToEndTrainer`` on the SAME behaviors fixture with weight-converted
+identical initializations — ALL FIVE of the reference's trainer families.
+The fifth (``AttentionAttentionTrainer``) needs no remote model: its
+token-attention head is a bare ``MyEncoder`` (``modeling_utils.py:498-513``)
+and its sqlite token store is fabricated directly in the reference's own
+format (``tensors(id INTEGER PRIMARY KEY, data BLOB)`` of mask-trimmed
+torch-pickled ``[L, D]`` tensors, ``modeling_utils.py:460-471``).
 
 Controlled comparison design (this is what makes exactness possible):
 
@@ -540,4 +541,139 @@ def test_attention_reduce_trainer_head_to_head(h2h, monkeypatch):
         convert_reducing_model(_sd(ref_reduce)),
         atol=2e-4,
         what="final reduce params",
+    )
+
+
+def test_attention_attention_trainer_head_to_head(h2h, monkeypatch, tmp_path):
+    """Our EndToEndTrainer reproduces the reference AttentionAttentionTrainer
+    (two-level token-attention + history-tower training from frozen per-token
+    states, ``trainer.py:952-1117``): per-epoch losses and BOTH models' final
+    parameters.
+
+    Offline construction notes:
+
+    - the token-attention head is built directly (``FirstAttentionPoolFunc``
+      = bare ``MyEncoder`` + last-token pool, ``modeling_utils.py:498-513``;
+      no AutoModel involved), with ``as_built=True`` on our side matching the
+      reference's dead-layer quirk (``attention.py:193`` returns
+      ``LayerNorm(input)``; only the final LayerNorm trains — in torch the
+      dead params keep ``grad=None`` so AdamW skips them entirely, while
+      optax sees exact-zero grads and applies only weight decay: at
+      lr=1e-6 x wd=0.01 x 3 steps that is a ~3e-8 relative drift, far under
+      the 2e-4 atol, and the quirk also makes the head's dropout inert (it
+      only touches discarded tensors), so no dropout control is needed there;
+    - the sqlite token store is fabricated in the reference's exact format
+      (1-based INTEGER PRIMARY KEY, torch-pickled mask-trimmed ``[L, D]``
+      blobs, ``modeling_utils.py:460-471``); our ``TokenStore`` holds the
+      same ragged states 0-indexed (news tables are identically ordered,
+      oracle-tested);
+    - the Azure blob client the reference constructs unconditionally
+      (``trainer.py:1009-1019``) is stubbed out — it is only used by the
+      commented-out mid-epoch upload path;
+    - the reference hardcodes AdamW lr=1e-6 for this trainer
+      (``trainer.py:979-983``), unlike the others' 1e-5.
+    """
+    import news_rec_utils.trainer as ref_trainer_mod
+    from news_rec_utils.modeling_utils import (
+        FirstAttentionPoolFunc as RefPool,
+        FinalAttention as RefFA,
+        last_token_pool as ref_last_token_pool,
+    )
+
+    from news_recommendation_project_v2_tpu.models import TokenAttentionPool
+    from news_recommendation_project_v2_tpu.models.convert_towers import (
+        convert_token_attention_pool,
+    )
+    from news_recommendation_project_v2_tpu.ops.encode import TokenStore
+    from news_recommendation_project_v2_tpu.train import EndToEndTrainer
+
+    ref, ours, _ = h2h
+    monkeypatch.setattr(
+        ref_trainer_mod,
+        "get_attention_attention_train_batch_size",
+        lambda **kw: BATCH,
+    )
+    monkeypatch.setattr(ref_trainer_mod, "NUM_WORKERS", 0)
+    monkeypatch.setenv("ACCOUNT_URL", "https://offline.invalid")
+    monkeypatch.setenv("CONTAINER_NAME", "offline")
+    monkeypatch.setenv("BLOB_SAS_TOKEN", "offline")
+
+    class _OfflineContainer:
+        def __init__(self, **kwargs):
+            pass
+
+    monkeypatch.setattr(ref_trainer_mod, "ContainerClient", _OfflineContainer)
+
+    # Fabricate the frozen per-token states: ragged [L_i, D], L_i in [3, 10].
+    import io
+    import sqlite3
+
+    state_rng = np.random.default_rng(11)
+    toks = [
+        (state_rng.standard_normal((int(state_rng.integers(3, 11)), D)) * 0.4).astype(
+            np.float32
+        )
+        for _ in range(NUM_NEWS)
+    ]
+    db = tmp_path / "tok.sqlite"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE tensors (id INTEGER PRIMARY KEY, data BLOB)")
+        for t in toks:  # implicit rowids 1..N, matching store order
+            buf = io.BytesIO()
+            torch.save(torch.from_numpy(t), buf)
+            buf.seek(0)
+            conn.execute("INSERT INTO tensors (data) VALUES (?)", (buf.read(),))
+
+    torch.manual_seed(4)
+    ref_pool = RefPool(pool_func=ref_last_token_pool, embedding_dim=D, num_layers=1)
+    ref_fa = RefFA(reduced_dim=D, hidden_dim=HID)
+    for m in ref_fa.modules():  # controlled comparison: no dropout noise
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    init_pool = convert_token_attention_pool(_sd(ref_pool), num_layers=1)
+    init_tower = convert_final_attention(_sd(ref_fa))
+
+    ref_tr = ref_trainer_mod.AttentionAttentionTrainer(
+        db_name=str(db),
+        token_attention_model=ref_pool,
+        final_attention_model=ref_fa,
+        train_history_rev_index=ref["history_rev_ind_array"][0],
+        train_history_len_list=ref["history_len_list"],
+        train_news_rev_index=ref["impression_rev_ind_array"][0],
+        train_impression_len_list=ref["impression_len_list"],
+        train_labels=ref["labels"],
+        rng=np.random.default_rng(1234),
+    )
+    ref_losses = []
+    for _ in range(EPOCHS):
+        ref_losses.append(float(ref_tr.train_one_epoch()))
+        ref_tr.train_dataset.reset()
+
+    pool = TokenAttentionPool(hidden_size=D, num_layers=1, as_built=True)
+    tower = FinalAttention(reduced_dim=D, hidden_dim=HID, dropout_rate=0.0)
+    trainer = EndToEndTrainer(
+        pool.apply,
+        init_pool,
+        tower.apply,
+        init_tower,
+        ours,
+        TokenStore.from_ragged(toks),
+        cfg=TrainConfig(
+            num_epochs=EPOCHS, batch_size=BATCH, learning_rate=1e-6, seed=3
+        ),
+    )
+    losses = [trainer.train_one_epoch() for _ in range(EPOCHS)]
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4, atol=1e-5)
+    _flax_leaves_close(
+        trainer.params["token_encoder"],
+        convert_token_attention_pool(_sd(ref_pool), num_layers=1),
+        atol=2e-4,
+        what="final token-encoder params",
+    )
+    _flax_leaves_close(
+        trainer.params["tower"],
+        convert_final_attention(_sd(ref_fa)),
+        atol=2e-4,
+        what="final tower params",
     )
