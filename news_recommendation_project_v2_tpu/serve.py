@@ -66,10 +66,6 @@ class Ranker:
     dropped; unknown candidate ids score ``-inf`` and rank last.
     """
 
-    # rank_batch group sizes pad to powers of two up to this cap; larger
-    # groups chunk at it (bounds the compile surface AND the pad waste).
-    BATCH_CAP = 64
-
     def __init__(
         self,
         tower_apply: Callable,  # (params, [B,L,D], [B,L]) -> [B,D]
@@ -92,6 +88,22 @@ class Ranker:
         self.id_of = [str(n) for n in news_ids]
         self.buckets = buckets
         self.candidate_buckets = candidate_buckets
+        self._cap_cache: dict[tuple[int, int], int] = {}
+
+    def _batch_cap(self, L: int, C: int) -> int:
+        """Per-shape-group request-batch cap for ``rank_batch``: group sizes
+        pad to powers of two up to this cap and larger groups chunk at it
+        (bounds the batch-axis compile surface AND the pad waste). The cap
+        comes from the analytic memory model, not a constant
+        (``utils/memory.py`` — see the estimator's docstring)."""
+        key = (L, C)
+        if key not in self._cap_cache:
+            from .utils.memory import estimate_serve_batch_cap
+
+            self._cap_cache[key] = estimate_serve_batch_cap(
+                int(self.news_emb.shape[1]), L, C
+            )
+        return self._cap_cache[key]
 
     def _chunk_sizes(self, n: int) -> list[int]:
         """Candidate-axis padded shapes for an ``n``-candidate request: one
@@ -125,14 +137,18 @@ class Ranker:
         hist_mask_j = jnp.asarray(hist_mask)
         # Chunked over fixed buckets: scores are independent per candidate
         # (the user vector is candidate-free), so a segment concat is exact.
-        chunks = []
+        # Dispatch EVERY chunk before fetching any: jax dispatch is async, so
+        # chunk k+1 computes while chunk k downloads — fetching inside the
+        # loop would serialize one device round trip per chunk (the RTT, not
+        # the compute, dominates tunneled links; CLAUDE.md).
+        pending = []
         start = 0
         for C in self._chunk_sizes(len(known)):
             part = known[start : start + C]
             cand_idx = np.zeros(C, np.int32)
             cand_idx[: len(part)] = np.maximum(part, 0)
-            chunks.append(
-                np.asarray(
+            pending.append(
+                (
                     _rank_one(
                         self.tower_apply,
                         self.params,
@@ -141,11 +157,14 @@ class Ranker:
                         hist_idx_j,
                         hist_mask_j,
                         jnp.asarray(cand_idx),
-                    )
-                )[: len(part)]
+                    ),
+                    len(part),
+                )
             )
             start += C
-        scores = np.concatenate(chunks)[: len(known)]
+        scores = np.concatenate(
+            [np.asarray(a)[:n] for a, n in pending]
+        )[: len(known)]
         scores = np.where(np.asarray(known) >= 0, scores, -np.inf)
         order = np.argsort(-scores, kind="stable")
         return [(candidate_ids[i], float(scores[i])) for i in order]
@@ -166,10 +185,11 @@ class Ranker:
         ``rank``/``retrieve`` can ever hit — a post-warmup request costs zero
         compiles regardless of candidate count (tested). ``rank_batch``
         additionally varies in the request-group batch dimension (powers of
-        two up to ``BATCH_CAP``); pass the expected ``batch_sizes`` (each
-        rounds to its pow2 bucket) to pre-compile those too — warming the
-        full cross product is usually too many programs for a 30-500s-per-
-        compile link, so the throughput path warms selectively.
+        two up to the per-shape memory-model cap); pass the expected
+        ``batch_sizes`` (each rounds to its pow2 program and duplicates are
+        warmed once) to pre-compile those too — warming the full cross
+        product is usually too many programs for a 30-500s-per-compile link,
+        so the throughput path warms selectively.
         Returns the number of programs warmed."""
         hb = list(history_buckets or self.buckets)
         cb = list(candidate_buckets or self.candidate_buckets)
@@ -184,9 +204,19 @@ class Ranker:
             if retrieve_k:
                 self.retrieve([anchor] * L, k=retrieve_k)
                 n += 1
-            for B in batch_sizes:
-                B = min(max(int(B), 1), self.BATCH_CAP)
-                for C in cb:
+            for C in cb:
+                # Distinct requested sizes can map to the same compiled
+                # program (pow2 rounding + the cap); warm each program once.
+                programs = sorted(
+                    {
+                        min(
+                            1 << (max(int(B), 1) - 1).bit_length(),
+                            self._batch_cap(L, C),
+                        )
+                        for B in batch_sizes
+                    }
+                )
+                for B in programs:
                     self.rank_batch([([anchor] * L, [anchor] * C)] * B)
                     n += 1
         return n
@@ -251,15 +281,16 @@ class Ranker:
         for item in prepared:
             by_shape.setdefault((item[4], item[5]), []).append(item)
         for (L, C), group in by_shape.items():
-            # The group's batch axis runs at power-of-two sizes capped at
-            # BATCH_CAP (larger groups chunk): without padding, every
+            # The group's batch axis runs at power-of-two sizes capped at the
+            # memory-model cap (larger groups chunk): without padding, every
             # distinct group size compiles a fresh XLA program — an unbounded
             # jit-cache/compile surface on the batch dim; without the cap,
             # one huge call would pad up to 2x its own size. Pad rows get one
             # live history token so the tower stays NaN-inert; their scores
             # are dropped below.
-            for g0 in range(0, len(group), self.BATCH_CAP):
-                chunk = group[g0 : g0 + self.BATCH_CAP]
+            cap = self._batch_cap(L, C)
+            for g0 in range(0, len(group), cap):
+                chunk = group[g0 : g0 + cap]
                 B = 1 << (len(chunk) - 1).bit_length()
                 hist_idx = np.zeros((B, L), np.int32)
                 hist_mask = np.zeros((B, L), np.float32)

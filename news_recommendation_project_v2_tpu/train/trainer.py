@@ -952,6 +952,15 @@ class EndToEndTrainer(ResumableTrainer):
             "compiled_val and val_token_store come together (val impressions "
             "score against the val corpus's learned embeddings)"
         )
+        # Designed boundary, not a silent fallback: this trainer samples
+        # margin pairs only (reference AttentionAttentionTrainer is margin-
+        # only, trainer.py:985); a cfg recycled from the InfoNCE config[1]
+        # preset must fail loudly rather than train the wrong objective.
+        assert cfg.loss != "infonce", (
+            "EndToEndTrainer has no InfoNCE mode (margin pairs only, like the "
+            "reference AttentionAttentionTrainer); use TowerTrainer or "
+            "ClassificationTrainer for InfoNCE"
+        )
         # remote_sync generalizes the reference's hardcoded Azure Blob upload of
         # epoch checkpoints (trainer.py:1007-1015,1172-1197): any callable
         # receiving the local checkpoint path (rsync, gcs upload, ...).

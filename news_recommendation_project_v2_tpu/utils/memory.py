@@ -269,3 +269,28 @@ def estimate_head_batch(
     budget = _budget(hbm_budget_bytes, fraction)
     per_row = (in_dim + 2 * hidden_dim) * 4 * (TRAIN_MULTIPLIER if train else 1)
     return _floor_multiple(budget // max(per_row, 1), 8)
+
+
+def estimate_serve_batch_cap(
+    dim: int,
+    history_len: int,
+    num_candidates: int,
+    hbm_budget_bytes: Optional[int] = None,
+    fraction: float = 0.0625,
+    tower_multiplier: int = 12,
+) -> int:
+    """Power-of-two request-batch cap for one ``serve.Ranker`` shape group
+    ([B, L] histories x [B, C] candidates).
+
+    ``Ranker`` takes a bare ``tower_apply`` with no ``TowerConfig``, so the
+    tower's internal widths are covered by a generic ``tower_multiplier`` on
+    the gathered [L, D] input block — an upper bound over the shipped towers
+    (the latent tower's widest activation is the 8x-dim GEGLU input plus QKV
+    blocks ~ 12x the input row; ``tower_activation_bytes``). The pow2 result
+    keeps the batch-axis compile surface log-bounded (group sizes pad up to
+    it, larger groups chunk at it), and chunking at the cap also bounds pad
+    waste: one huge group would otherwise pad up to 2x its own size.
+    """
+    budget = _budget(hbm_budget_bytes, fraction)
+    per_row = (history_len * dim * tower_multiplier + num_candidates * dim) * 4
+    return _floor_pow2(max(budget // max(per_row, 1), 8), lo=8)

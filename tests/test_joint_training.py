@@ -231,3 +231,55 @@ def test_token_store_float16(rng, tmp_path):
     assert store.states.dtype == np.float16
     batch, m = store.gather_padded(np.array([1]))
     np.testing.assert_allclose(batch[0, :, 0], [2.0, 3.0])
+
+
+def test_end_to_end_trainer_rejects_infonce(learnable):
+    """Designed boundary: EndToEndTrainer is margin-only (the reference
+    AttentionAttentionTrainer has no InfoNCE mode, ``trainer.py:985``); a cfg
+    recycled from the InfoNCE config[1] preset must fail loudly instead of
+    silently training margin pairs under an InfoNCE label."""
+    c, emb = learnable
+    tower, tower_params = make_tower()
+    tok_model = TokenAttentionPool(hidden_size=D, num_layers=1)
+    tok_params = jax.jit(
+        lambda: tok_model.init(
+            jax.random.key(3), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
+        )
+    )()
+    store = TokenStore.from_ragged(
+        [np.zeros((2, D), np.float32) for _ in range(c.num_news)]
+    )
+    with pytest.raises(AssertionError, match="InfoNCE"):
+        EndToEndTrainer(
+            tok_model.apply,
+            tok_params,
+            tower.apply,
+            tower_params,
+            c,
+            store,
+            cfg=TrainConfig(loss="infonce", batch_size=32),
+        )
+
+
+def test_joint_trainer_rejects_flat_train(learnable):
+    """Same boundary class: the joint trainers' steps consume per-pair
+    baseline columns the flat-token step has no slot for."""
+    c, emb = learnable
+    tower, tower_params = make_tower()
+    blend = WeightedSumModel()
+    blend_params = jax.jit(
+        lambda: blend.init(jax.random.key(1), jnp.zeros(2), jnp.zeros(2))
+    )()
+    baseline = np.zeros(c.num_news, np.float32)
+    with pytest.raises(AssertionError, match="flat_train"):
+        JointTowerTrainer(
+            tower.apply,
+            tower_params,
+            c,
+            emb,
+            blend_apply=blend.apply,
+            blend_params=blend_params,
+            baseline_train=baseline,
+            cfg=TrainConfig(batch_size=32),
+            flat_train=True,
+        )
