@@ -140,3 +140,20 @@ def test_materialize_auto_batch():
         token_buckets=(4,),
     )
     np.testing.assert_allclose(auto, fixed, atol=1e-5)
+
+
+def test_serve_batch_cap():
+    """The serving request-batch cap (serve.Ranker shape groups) is a pow2,
+    shrinks with the shape-group footprint, and scales with the budget."""
+    from news_recommendation_project_v2_tpu.utils.memory import (
+        estimate_serve_batch_cap,
+    )
+
+    GB = 1024**3
+    big = estimate_serve_batch_cap(1024, 600, 300, hbm_budget_bytes=16 * GB)
+    small = estimate_serve_batch_cap(1024, 64, 50, hbm_budget_bytes=16 * GB)
+    assert big & (big - 1) == 0 and small & (small - 1) == 0  # pow2
+    assert small >= big >= 8  # bigger shapes -> smaller cap; floor holds
+    # Linear in budget (up to pow2 flooring), never below the floor of 8.
+    assert estimate_serve_batch_cap(1024, 600, 300, hbm_budget_bytes=64 * GB) >= big
+    assert estimate_serve_batch_cap(4096, 600, 600, hbm_budget_bytes=1 * GB) == 8
