@@ -1,0 +1,161 @@
+"""End-to-end (config[2]) trainer step benchmark: host-streaming vs
+device-resident token store.
+
+The e2e step's inputs are dominated by the batch's unique-news token block
+[M, T, D] (M=2048, T=64, D=1024 f32 = 512MB). The host path re-uploads that
+block every step (the reference's sqlite-collate does the same,
+``data_utils.py:893-915``); the device-store path uploads the flat store ONCE
+and gathers the block inside the jitted step from HBM, so the per-step
+transfer drops to index grids (~1MB). This benchmark measures both steps on
+identical batch content, plus the corpus materialization pass both ways.
+
+    python benchmarks/e2e_bench.py [steps]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from news_recommendation_project_v2_tpu.config import TrainConfig
+from news_recommendation_project_v2_tpu.models import FinalAttention, TokenAttentionPool
+from news_recommendation_project_v2_tpu.ops.encode import (
+    TokenStore,
+    materialize_from_token_store,
+)
+from news_recommendation_project_v2_tpu.train.step import (
+    make_end2end_train_step,
+    make_end2end_train_step_gathered,
+)
+from news_recommendation_project_v2_tpu.train.trainer import make_optimizer
+
+NUM_NEWS, DIM = 8192, 1024
+M, T = 2048, 64  # unique-news bucket x token bucket (title-only MIND stats)
+B, L = 1024, 64  # pairs x history bucket
+
+
+def build_store(rng) -> TokenStore:
+    lens = np.clip(rng.geometric(1 / 24.0, size=NUM_NEWS), 2, T).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    states = rng.standard_normal((int(offsets[-1]), DIM)).astype(np.float32) * 0.3
+    return TokenStore(states=states, offsets=offsets)
+
+
+def main(steps: int = 8):
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    rng = np.random.default_rng(0)
+    store = build_store(rng)
+    total_tokens = int(store.offsets[-1])
+    print(
+        f"store: {NUM_NEWS} news, {total_tokens:,} tokens "
+        f"({store.states.nbytes / 1e9:.2f} GB f32)",
+        file=sys.stderr,
+    )
+
+    tok_model = TokenAttentionPool(hidden_size=DIM, num_layers=1)
+    tower = FinalAttention()
+    tok_params = jax.jit(
+        lambda: tok_model.init(jax.random.key(0), jnp.zeros((1, T, DIM)), jnp.ones((1, T)))
+    )()
+    tower_params = jax.jit(
+        lambda: tower.init(jax.random.key(1), jnp.zeros((1, L, DIM)), jnp.ones((1, L)))
+    )()
+    params = {"token_encoder": tok_params, "tower": tower_params}
+    cfg = TrainConfig()
+    optimizer = make_optimizer(cfg)
+
+    # One batch's logical content, shared by both paths.
+    uniq = np.sort(rng.choice(NUM_NEWS, size=M, replace=False)).astype(np.int64)
+    hist_idx = rng.integers(0, M, (B, L)).astype(np.int32)
+    hist_mask = (rng.random((B, L)) < 0.5).astype(np.float32)
+    hist_mask[:, 0] = 1.0
+    hist_rev = np.arange(B, dtype=np.int32)
+    pos = rng.integers(0, M, B).astype(np.int32)
+    neg = rng.integers(0, M, B).astype(np.int32)
+    pmask = np.ones(B, np.float32)
+    key = jax.random.key(2)
+    tail = (hist_idx, hist_mask, hist_rev, pos, neg, pmask)
+
+    # --- host-streaming path: the [M, T, D] block is re-uploaded per step ---
+    tok_states, tok_mask = store.gather_padded(uniq, max_len=T)
+    tok_states = np.pad(tok_states, ((0, 0), (0, T - tok_states.shape[1]), (0, 0)))
+    tok_mask = np.pad(tok_mask, ((0, 0), (0, T - tok_mask.shape[1])))
+    step_host = jax.jit(
+        make_end2end_train_step(tok_model.apply, tower.apply, optimizer, cfg.margin),
+        donate_argnums=(0, 1),
+    )
+    p = jax.tree.map(jnp.copy, params)
+    o = jax.jit(optimizer.init)(p)
+    p, o, loss = step_host(p, o, tok_states, tok_mask, *tail, key)  # compile
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        # jnp.asarray inside the loop: the upload is part of the step cost.
+        p, o, loss = step_host(
+            p, o, jnp.asarray(tok_states), jnp.asarray(tok_mask), *tail, key
+        )
+        final = float(loss)
+    dt_host = (time.perf_counter() - t0) / steps
+    mb = (tok_states.nbytes + tok_mask.nbytes) / 1e6
+    print(
+        f"host-path step ({mb:.0f} MB/step H2D): {dt_host * 1e3:.1f} ms/step "
+        f"-> {B / dt_host:,.0f} pairs/s (loss {final:.4f})"
+    )
+
+    # --- device-store path: states uploaded once, gathered in-program ---
+    t0 = time.perf_counter()
+    dev_states = jnp.asarray(store.states)
+    dev_states.block_until_ready()
+    np.asarray(dev_states[0, 0])  # force through the tunnel
+    up = time.perf_counter() - t0
+    print(f"one-time store upload: {up:.2f}s ({store.states.nbytes / 1e6:.0f} MB)")
+    tok_idx, g_mask = store.padded_index_batch(uniq, T, max_len=T)
+    step_dev = jax.jit(
+        make_end2end_train_step_gathered(
+            tok_model.apply, tower.apply, optimizer, cfg.margin
+        ),
+        donate_argnums=(0, 1),
+    )
+    p = jax.tree.map(jnp.copy, params)
+    o = jax.jit(optimizer.init)(p)
+    p, o, loss = step_dev(p, o, dev_states, tok_idx, g_mask, *tail, key)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        p, o, loss = step_dev(
+            p, o, dev_states, jnp.asarray(tok_idx), jnp.asarray(g_mask), *tail, key
+        )
+        final = float(loss)
+    dt_dev = (time.perf_counter() - t0) / steps
+    kb = (tok_idx.nbytes + g_mask.nbytes) / 1e3
+    print(
+        f"device-store step ({kb:.0f} KB/step H2D): {dt_dev * 1e3:.1f} ms/step "
+        f"-> {B / dt_dev:,.0f} pairs/s (loss {final:.4f}) "
+        f"-> {dt_host / dt_dev:.2f}x over host path"
+    )
+
+    # --- corpus materialization, both ways ---
+    for name, dev in (("host", None), ("device", dev_states)):
+        t0 = time.perf_counter()
+        emb = materialize_from_token_store(
+            tok_model.apply, tok_params, store,
+            batch_size=256, max_token_len=T, dev_states=dev,
+        )
+        dt = time.perf_counter() - t0
+        print(
+            f"materialize[{name}]: {NUM_NEWS / dt:,.0f} news/s ({dt:.2f}s, "
+            f"norm {float(np.linalg.norm(emb)):.1f})"
+        )
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -296,6 +296,37 @@ class TokenStore:
             mask[j, :ln] = 1.0
         return out, mask
 
+    def padded_index_batch(
+        self,
+        indices: np.ndarray,
+        T: int,
+        out_rows: Optional[int] = None,
+        max_len: Optional[int] = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """[M, T] int32 indices into the FLAT states row axis + [M, T] mask —
+        the host half of a DEVICE-resident gather: the states stay in HBM and
+        only these index grids cross the host-device link (KBs vs the
+        [M, T, D] block's hundreds of MBs at MIND scale). Pad slots point at
+        flat row 0 and are mask-zeroed (the device gather multiplies them
+        away); pad ROWS past ``len(indices)`` keep one live mask slot so
+        downstream masked reductions stay non-degenerate (same convention as
+        the host ``gather_padded`` path)."""
+        indices = np.asarray(indices)
+        M = len(indices) if out_rows is None else out_rows
+        starts = self.offsets[indices]
+        lens = (self.offsets[indices + 1] - starts).astype(np.int64)
+        if max_len is not None:
+            lens = np.minimum(lens, max_len)  # keep the FIRST max_len tokens
+        lens = np.minimum(lens, T)
+        tok_idx = np.zeros((M, T), np.int32)
+        mask = np.zeros((M, T), np.float32)
+        ar = np.arange(T, dtype=np.int64)
+        valid = ar[None, :] < lens[:, None]
+        tok_idx[: len(indices)] = np.where(valid, starts[:, None] + ar[None, :], 0)
+        mask[: len(indices)] = valid
+        mask[len(indices) :, 0] = 1.0
+        return tok_idx, mask
+
     def save(self, path: Path) -> None:
         """``.npz`` single-file dump (in-RAM stores). For out-of-core stores
         use ``save_dir``/``open_dir``."""
@@ -347,12 +378,15 @@ def materialize_from_token_store(
     batch_size: Optional[int] = 64,
     max_token_len: int = 512,
     token_buckets: tuple[int, ...] = (64, 128, 256, 512),
+    dev_states=None,  # HBM-resident flat [total_tokens, D] (device-store mode)
 ) -> np.ndarray:
     """Run a (learned) token encoder over the whole store -> [N, D] news
     embedding matrix (reference ``apply_token_attn`` + ``store_embeddings``,
     ``data_model_helper.py:374-413``). ``batch_size=None`` sizes the batch from
     the analytic memory model (reference
-    ``get_token_attention_inference_batch_size``)."""
+    ``get_token_attention_inference_batch_size``). With ``dev_states`` (the
+    store's flat states already resident in HBM) each batch uploads only its
+    [B, T] index grid and gathers on device."""
     from ..config import bucket_for_open
 
     if batch_size is None:
@@ -367,8 +401,28 @@ def materialize_from_token_store(
     n = store.num_items
     out = []
     apply = jax.jit(lambda p, s, m: token_encoder_apply(p, s, m))
+    apply_gathered = jax.jit(
+        lambda p, flat, i, m: token_encoder_apply(
+            p, flat[i].astype(jnp.float32) * m[..., None], m
+        )
+    )
     for start in range(0, n, batch_size):
         idx = np.arange(start, min(start + batch_size, n))
+        if dev_states is not None:
+            lens = np.minimum(
+                store.offsets[idx + 1] - store.offsets[idx], max_token_len
+            )
+            T = bucket_for_open(int(lens.max()), token_buckets)
+            tok_idx, mask = store.padded_index_batch(
+                idx, T, out_rows=batch_size, max_len=max_token_len
+            )
+            vecs = np.asarray(
+                apply_gathered(
+                    params, dev_states, jnp.asarray(tok_idx), jnp.asarray(mask)
+                )
+            )
+            out.append(vecs[: len(idx)])
+            continue
         states, mask = store.gather_padded(idx, max_len=max_token_len)
         T = bucket_for_open(states.shape[1], token_buckets)
         states = np.pad(

@@ -194,6 +194,37 @@ def e2e_step_shardings(mesh: Mesh) -> tuple[tuple, tuple]:
     )
 
 
+def make_sharded_e2e_train_step_gathered(
+    step_fn: Callable,
+    mesh: Mesh,
+    donate: bool = True,
+) -> Callable:
+    """Sharded device-resident-store end-to-end step
+    (``make_end2end_train_step_gathered``): the flat token store is
+    REPLICATED in HBM (commit it with ``replicated(mesh)`` before the first
+    call — explicit in_shardings do not reshard committed arrays), the
+    per-batch [M, T] index grids shard their unique-news axis over ``data``
+    (so the gathered [M, T, D] block comes out sharded exactly like the
+    host-upload step's), and the pair batch shards over ``data``."""
+    in_shardings, out_shardings = e2e_gathered_step_shardings(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=in_shardings,
+        out_shardings=out_shardings,
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
+def e2e_gathered_step_shardings(mesh: Mesh) -> tuple[tuple, tuple]:
+    rep = replicated(mesh)
+    dat = batch_sharding(mesh)
+    dat2 = NamedSharding(mesh, P("data", None))
+    return (
+        (rep, rep, rep, dat2, dat2, dat2, dat2, dat, dat, dat, dat, rep),
+        (rep, rep, rep),
+    )
+
+
 def make_sequence_sharded_tower_fn(mesh: Mesh, tower_apply: Callable) -> Callable:
     """Sequence-parallel tower forward: the history axis of [B, L, D] inputs is
     sharded over the ``model`` axis (batch over ``data``), so very long clicked

@@ -364,6 +364,70 @@ def make_end2end_train_step(
     return step
 
 
+def make_end2end_train_step_gathered(
+    token_encoder_apply: Callable,  # (params, [M,T,Dt], [M,T]) -> [M,D]
+    tower_apply: Callable,
+    optimizer: optax.GradientTransformation,
+    margin: float,
+) -> Callable:
+    """``make_end2end_train_step`` with a DEVICE-resident token store: the
+    frozen per-token states live in HBM as one flat [total_tokens, Dt] array
+    and the batch's [M, T, Dt] block is gathered INSIDE the program
+    (``tok_idx`` indexes the flat row axis; ``TokenStore.padded_index_batch``
+    builds the grids), so each step uploads index grids (KBs) instead of the
+    token block itself (hundreds of MBs at MIND scale — the dominant step
+    cost on PCIe/tunneled hosts; see benchmarks/e2e_bench.py). Masked slots
+    point at row 0 and are multiplied away, reproducing the host path's
+    zero-padding exactly."""
+
+    def step(
+        params,
+        opt_state,
+        flat_states,  # [total_tokens, Dt] — HBM-resident, NOT donated
+        tok_idx,  # [M, T] indices into total_tokens
+        tok_mask,  # [M, T]
+        hist_idx,  # [U, L] indices into M
+        hist_mask,  # [U, L]
+        hist_rev,  # [B]
+        pos_idx,  # [B] indices into M
+        neg_idx,  # [B]
+        pair_mask,  # [B]
+        dropout_key,
+    ):
+        def loss_fn(p):
+            k1, k2 = jax.random.split(dropout_key)
+            token_states = flat_states[tok_idx].astype(jnp.float32) * tok_mask[
+                ..., None
+            ]
+            news_vecs = token_encoder_apply(
+                p["token_encoder"],
+                token_states,
+                tok_mask,
+                deterministic=False,
+                rngs={"dropout": k1},
+            )
+            gathered = news_vecs[hist_idx] * hist_mask[..., None].astype(
+                news_vecs.dtype
+            )
+            user = tower_apply(
+                p["tower"],
+                gathered,
+                hist_mask,
+                deterministic=False,
+                rngs={"dropout": k2},
+            )
+            u = user[hist_rev]
+            cos_p = safe_cosine(u, news_vecs[pos_idx])
+            cos_n = safe_cosine(u, news_vecs[neg_idx])
+            return margin_ranking_loss(cos_p, cos_n, margin, pair_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, loss
+
+    return step
+
+
 def make_classification_train_step(
     head_apply: Callable,
     optimizer: optax.GradientTransformation,

@@ -946,6 +946,7 @@ class EndToEndTrainer(ResumableTrainer):
         mesh=None,  # jax.sharding.Mesh: shard token states + batch over `data`
         flat_eval: bool = False,  # token-local towers only
         device_metrics: bool = False,  # fused eval->metrics (flat_eval only)
+        device_store: Optional[bool] = None,  # HBM-resident token store (auto)
     ):
         assert len(compiled_train.hist_lens) == compiled_train.num_rows
         assert (compiled_val is None) == (val_token_store is None), (
@@ -992,14 +993,62 @@ class EndToEndTrainer(ResumableTrainer):
         self.history: list[dict] = []
         self._hist_offsets = lengths_to_offsets(compiled_train.hist_lens)
 
+        self.mesh = mesh
+        self._multiprocess = mesh is not None and any(
+            d.process_index != jax.process_index() for d in mesh.devices.flat
+        )
+        # Device-resident token store (auto when it fits HBM): the flat
+        # [total_tokens, D] states upload ONCE and each step gathers its
+        # [M, T, D] block on device — per-step host->device traffic drops
+        # from the token block (hundreds of MBs at MIND scale) to index
+        # grids (see make_end2end_train_step_gathered; benchmarks/
+        # e2e_bench.py for the receipt). Multi-process meshes keep the
+        # streaming host path (each process would need its own replicated
+        # copy fed through put_global — not wired).
+        if device_store is None:
+            from ..utils.memory import fits_device_token_store
+
+            device_store = (not self._multiprocess) and fits_device_token_store(
+                int(token_store.offsets[-1]),
+                int(token_store.states.shape[1]),
+                int(token_store.states.dtype.itemsize),
+            )
+        assert not (device_store and self._multiprocess), (
+            "device_store is not wired for process-spanning meshes; pass "
+            "device_store=False (the streaming host path works there)"
+        )
+        self.device_store = bool(device_store)
+        self._dev_states = None
+        if self.device_store:
+            from .step import make_end2end_train_step_gathered
+
+            raw_step = make_end2end_train_step_gathered(
+                token_encoder_apply, tower_apply, self.optimizer, cfg.margin
+            )
+            if mesh is not None:
+                assert cfg.batch_size % mesh.shape["data"] == 0
+                from ..parallel.sharding import (
+                    make_sharded_e2e_train_step_gathered,
+                    replicated,
+                )
+
+                # Commit the store replicated BEFORE the first call: explicit
+                # in_shardings do not reshard committed arrays.
+                self._dev_states = jax.device_put(
+                    jnp.asarray(token_store.states), replicated(mesh)
+                )
+                self._train_step = make_sharded_e2e_train_step_gathered(
+                    raw_step, mesh
+                )
+            else:
+                self._dev_states = jnp.asarray(token_store.states)
+                self._train_step = jax.jit(raw_step, donate_argnums=(0, 1))
+            return
+
         from .step import make_end2end_train_step
 
         raw_step = make_end2end_train_step(
             token_encoder_apply, tower_apply, self.optimizer, cfg.margin
-        )
-        self.mesh = mesh
-        self._multiprocess = mesh is not None and any(
-            d.process_index != jax.process_index() for d in mesh.devices.flat
         )
         if mesh is not None:
             assert cfg.batch_size % mesh.shape["data"] == 0
@@ -1058,19 +1107,36 @@ class EndToEndTrainer(ResumableTrainer):
             uniq_news, inv = np.unique(all_news, return_inverse=True)
             # Open-ended: a batch's unique-news union must never be truncated.
             M = bucket_for_open(len(uniq_news), self.UNIQUE_BUCKETS)
-            tok_states, tok_mask = self.store.gather_padded(
-                uniq_news, max_len=self.max_token_len
-            )
-            T = bucket_for(tok_states.shape[1], self.TOKEN_BUCKETS)
-            tok_states = np.pad(
-                tok_states[:, :T],
-                ((0, M - len(uniq_news)), (0, max(0, T - tok_states.shape[1])), (0, 0)),
-            )
-            tok_mask = np.pad(
-                tok_mask[:, :T],
-                ((0, M - len(uniq_news)), (0, max(0, T - tok_mask.shape[1]))),
-            )
-            tok_mask[len(uniq_news):, 0] = 1.0  # keep pad rows non-degenerate
+            if self.device_store:
+                # Index grids only — the [M, T, D] block is gathered inside
+                # the jitted step from the HBM-resident flat store.
+                lens = np.minimum(
+                    self.store.offsets[uniq_news + 1]
+                    - self.store.offsets[uniq_news],
+                    self.max_token_len,
+                )
+                T = bucket_for(int(lens.max()), self.TOKEN_BUCKETS)
+                tok_states, tok_mask = self.store.padded_index_batch(
+                    uniq_news, T, out_rows=M, max_len=self.max_token_len
+                )
+            else:
+                tok_states, tok_mask = self.store.gather_padded(
+                    uniq_news, max_len=self.max_token_len
+                )
+                T = bucket_for(tok_states.shape[1], self.TOKEN_BUCKETS)
+                tok_states = np.pad(
+                    tok_states[:, :T],
+                    (
+                        (0, M - len(uniq_news)),
+                        (0, max(0, T - tok_states.shape[1])),
+                        (0, 0),
+                    ),
+                )
+                tok_mask = np.pad(
+                    tok_mask[:, :T],
+                    ((0, M - len(uniq_news)), (0, max(0, T - tok_mask.shape[1]))),
+                )
+                tok_mask[len(uniq_news):, 0] = 1.0  # keep pad rows non-degenerate
             # Split relative indices back out.
             hist_lens_b = np.array([len(h) for h in hist_slices], dtype=np.int64)
             cuts = np.cumsum(hist_lens_b)
@@ -1085,7 +1151,8 @@ class EndToEndTrainer(ResumableTrainer):
             )
             pad = B - (stop - start)
             yield (
-                tok_states.astype(np.float32),
+                # device_store: int32 index grid, NOT the float block
+                tok_states if self.device_store else tok_states.astype(np.float32),
                 tok_mask.astype(np.float32),
                 hist_idx,
                 hist_mask,
@@ -1114,9 +1181,15 @@ class EndToEndTrainer(ResumableTrainer):
                 )
             else:
                 args = tuple(map(jnp.asarray, batch))
-            self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state, *args, sub
-            )
+            if self.device_store:
+                # The HBM-resident flat store rides as a non-donated arg.
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, self._dev_states, *args, sub
+                )
+            else:
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, *args, sub
+                )
             losses.append(loss)
             if len(losses) % sync == 0:  # queue bound (see TowerTrainer)
                 loss = float(loss)
@@ -1221,13 +1294,20 @@ class EndToEndTrainer(ResumableTrainer):
             # mixing global arrays with uncommitted host batches in one local
             # jit is not allowed.
             params = jax.tree.map(np.asarray, params)
+        target = self.store if store is None else store
+        # The HBM-resident states belong to the TRAIN store; other stores
+        # (val corpus) stream through the host path.
+        dev = self._dev_states if target is self.store else None
+        if self._multiprocess:
+            dev = None  # local jits cannot mix with global arrays
         return materialize_from_token_store(
             self.token_encoder_apply,
             params,
-            self.store if store is None else store,
+            target,
             batch_size=batch_size,
             max_token_len=self.max_token_len,
             token_buckets=self.TOKEN_BUCKETS,
+            dev_states=dev,
         )
 
 

@@ -294,3 +294,20 @@ def estimate_serve_batch_cap(
     budget = _budget(hbm_budget_bytes, fraction)
     per_row = (history_len * dim * tower_multiplier + num_candidates * dim) * 4
     return _floor_pow2(max(budget // max(per_row, 1), 8), lo=8)
+
+
+def fits_device_token_store(
+    total_tokens: int,
+    dim: int,
+    bytes_per_el: int = 4,
+    hbm_budget_bytes: Optional[int] = None,
+    fraction: float = 0.35,
+) -> bool:
+    """True when the WHOLE flat token store fits in HBM next to params,
+    optimizer state, and step activations (``EndToEndTrainer``'s
+    device-resident store: states gathered inside the jitted step, so the
+    per-step host->device transfer is index grids instead of the [M, T, D]
+    token block). MIND-small title-only stores (~1.6M tokens x 1024 f32 ~
+    6.5GB) fit a 16GB chip; 512-token full-text stores (~137GB) do not and
+    keep the streaming host path."""
+    return total_tokens * dim * bytes_per_el <= _budget(hbm_budget_bytes, fraction)

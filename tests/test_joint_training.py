@@ -283,3 +283,56 @@ def test_joint_trainer_rejects_flat_train(learnable):
             cfg=TrainConfig(batch_size=32),
             flat_train=True,
         )
+
+
+def test_end_to_end_device_store_matches_host_path(learnable, rng):
+    """The device-resident token store (flat states in HBM, gather inside the
+    jitted step — uploads index grids instead of the [M, T, D] block) is
+    numerically IDENTICAL to the host-streaming path: same losses, same final
+    params, same materialized embeddings. The auto heuristic
+    (utils.memory.fits_device_token_store) picks the device path for
+    HBM-sized stores; here both are pinned explicitly."""
+    c, emb = learnable
+    emb_np = np.asarray(emb)
+    arrays = [
+        emb_np[i][None, :]
+        + rng.standard_normal((int(rng.integers(2, 7)), D)).astype(np.float32)
+        * 0.05
+        for i in range(c.num_news)
+    ]
+    store = TokenStore.from_ragged(arrays)
+
+    def make(device_store):
+        tower, tower_params = make_tower()
+        tok_model = TokenAttentionPool(hidden_size=D, num_layers=1)
+        tok_params = jax.jit(
+            lambda: tok_model.init(
+                jax.random.key(3), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
+            )
+        )()
+        return EndToEndTrainer(
+            tok_model.apply,
+            tok_params,
+            tower.apply,
+            tower_params,
+            c,
+            store,
+            cfg=TrainConfig(learning_rate=1e-4, num_epochs=2, batch_size=32, seed=0),
+            max_token_len=8,
+            device_store=device_store,
+        )
+
+    t_host, t_dev = make(False), make(True)
+    assert not t_host.device_store and t_dev.device_store
+    for _ in range(2):
+        lh, ld = t_host.train_one_epoch(), t_dev.train_one_epoch()
+        assert lh == pytest.approx(ld, abs=1e-6)
+    for p1, p2 in zip(
+        jax.tree.leaves(t_host.params), jax.tree.leaves(t_dev.params)
+    ):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+    np.testing.assert_allclose(
+        t_host.materialize_news_embeddings(batch_size=16),
+        t_dev.materialize_news_embeddings(batch_size=16),
+        atol=1e-6,
+    )

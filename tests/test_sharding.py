@@ -368,9 +368,12 @@ def test_mesh_joint_trainer_matches_single_device(mesh):
         assert h_mesh[-1]["val"][k] == pytest.approx(v, abs=1e-6)
 
 
-def test_mesh_e2e_trainer_matches_single_device(mesh, rng):
+@pytest.mark.parametrize("device_store", [False, True])
+def test_mesh_e2e_trainer_matches_single_device(mesh, rng, device_store):
     """Sharded end-to-end (token encoder + tower) training run reproduces the
-    single-device run's losses."""
+    single-device run's losses — on both the host-streaming step and the
+    device-resident-store gathered step (states replicated in HBM, index
+    grids sharded over ``data``)."""
     from news_recommendation_project_v2_tpu.data import compile_behaviors
     from news_recommendation_project_v2_tpu.data.synthetic import (
         align_embeddings,
@@ -412,6 +415,7 @@ def test_mesh_e2e_trainer_matches_single_device(mesh, rng):
             cfg=TrainConfig(learning_rate=1e-4, num_epochs=1, batch_size=32, seed=0),
             max_token_len=8,
             mesh=mesh,
+            device_store=device_store,
         )
 
     h_single = make(None).train()
