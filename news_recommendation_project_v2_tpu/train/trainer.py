@@ -1002,21 +1002,15 @@ class EndToEndTrainer(ResumableTrainer):
         # [M, T, D] block on device — per-step host->device traffic drops
         # from the token block (hundreds of MBs at MIND scale) to index
         # grids (see make_end2end_train_step_gathered; benchmarks/
-        # e2e_bench.py for the receipt). Multi-process meshes keep the
-        # streaming host path (each process would need its own replicated
-        # copy fed through put_global — not wired).
+        # e2e_bench.py: 18.4x the streaming step on a tunneled v5e host).
         if device_store is None:
             from ..utils.memory import fits_device_token_store
 
-            device_store = (not self._multiprocess) and fits_device_token_store(
+            device_store = fits_device_token_store(
                 int(token_store.offsets[-1]),
                 int(token_store.states.shape[1]),
                 int(token_store.states.dtype.itemsize),
             )
-        assert not (device_store and self._multiprocess), (
-            "device_store is not wired for process-spanning meshes; pass "
-            "device_store=False (the streaming host path works there)"
-        )
         self.device_store = bool(device_store)
         self._dev_states = None
         if self.device_store:
@@ -1028,15 +1022,41 @@ class EndToEndTrainer(ResumableTrainer):
             if mesh is not None:
                 assert cfg.batch_size % mesh.shape["data"] == 0
                 from ..parallel.sharding import (
+                    e2e_gathered_step_shardings,
                     make_sharded_e2e_train_step_gathered,
+                    put_global,
                     replicated,
                 )
 
-                # Commit the store replicated BEFORE the first call: explicit
-                # in_shardings do not reshard committed arrays.
-                self._dev_states = jax.device_put(
-                    jnp.asarray(token_store.states), replicated(mesh)
-                )
+                rep = replicated(mesh)
+                if self._multiprocess:
+                    self._put_global = put_global
+                    assert device_metrics, (
+                        "multi-process meshes require device_metrics=True "
+                        "(see the streaming-path branch below)"
+                    )
+                    self.params = jax.tree.map(
+                        lambda l: put_global(l, rep), self.params
+                    )
+                    self.opt_state = jax.tree.map(
+                        lambda l: put_global(l, rep), self.opt_state
+                    )
+                    self._rep_sharding = rep
+                    self._batch_shardings = e2e_gathered_step_shardings(mesh)[0][
+                        3:-1
+                    ]
+                    # Every process holds the full store; one global
+                    # replicated upload replaces the per-batch put_global of
+                    # the [M, T, D] block.
+                    self._dev_states = put_global(
+                        np.asarray(token_store.states), rep
+                    )
+                else:
+                    # Commit the store replicated BEFORE the first call:
+                    # explicit in_shardings do not reshard committed arrays.
+                    self._dev_states = jax.device_put(
+                        jnp.asarray(token_store.states), rep
+                    )
                 self._train_step = make_sharded_e2e_train_step_gathered(
                     raw_step, mesh
                 )

@@ -299,7 +299,7 @@ token_store = TokenStore.from_ragged(tok_arrays)
 tok_model = TokenAttentionPool(hidden_size=D, num_layers=1)
 
 
-def make_e2e(mesh_):
+def make_e2e(mesh_, device_store):
     tok_params = jax.jit(
         lambda: tok_model.init(
             jax.random.key(5), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
@@ -323,11 +323,16 @@ def make_e2e(mesh_):
         mesh=mesh_,
         flat_eval=True,
         device_metrics=True,
+        device_store=device_store,
     )
 
 
-e2e_mp = make_e2e(mesh).train()
-e2e_single = make_e2e(None).train()
+# Both cross-process input paths: streaming (per-batch put_global of the
+# [M, T, D] block) and device-resident store (ONE global replicated upload,
+# per-batch index grids).
+e2e_mp = make_e2e(mesh, device_store=False).train()
+e2e_mp_dev = make_e2e(mesh, device_store=True).train()
+e2e_single = make_e2e(None, device_store=True).train()
 
 
 # --- Classification trainer across processes ------------------------------
@@ -353,8 +358,10 @@ cls_single = make_cls(None).train()
 
 train_run = {
     "e2e_mp_loss": e2e_mp[-1]["loss"],
+    "e2e_mp_dev_loss": e2e_mp_dev[-1]["loss"],
     "e2e_single_loss": e2e_single[-1]["loss"],
     "e2e_mp_val": e2e_mp[-1]["val"],
+    "e2e_mp_dev_val": e2e_mp_dev[-1]["val"],
     "e2e_single_val": e2e_single[-1]["val"],
     "cls_mp_loss": cls_mp[-1]["loss"],
     "cls_single_loss": cls_single[-1]["loss"],

@@ -111,15 +111,22 @@ def test_sharded_step_across_processes(tmp_path):
             tr["joint_mp_val_auc"], tr["joint_single_val_auc"], atol=1e-5
         )
         # EndToEndTrainer across processes (VERDICT r2 item 5): 1-epoch run
-        # with per-epoch materialize->sharded-metrics eval == single-device.
+        # with per-epoch materialize->sharded-metrics eval == single-device,
+        # on BOTH input paths — streaming (per-batch put_global of the token
+        # block) and device-resident store (one replicated upload, per-batch
+        # index grids).
         np.testing.assert_allclose(
             tr["e2e_mp_loss"], tr["e2e_single_loss"], rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            tr["e2e_mp_dev_loss"], tr["e2e_single_loss"], rtol=1e-4
         )
         # Metric atol 1e-3, not 1e-5: the mp training path's gradient-psum
         # f32 ordering drifts the epoch's weights by ~1e-6, and a single
         # near-tie score pair flipping moves AUC by ~1/(rows*pairs) ~ 3e-4.
         for k, v in tr["e2e_single_val"].items():
             np.testing.assert_allclose(tr["e2e_mp_val"][k], v, atol=1e-3)
+            np.testing.assert_allclose(tr["e2e_mp_dev_val"][k], v, atol=1e-3)
         # ClassificationTrainer across processes: replicated-output predict
         # keeps baseline_scores a plain fetch; run == single-device.
         np.testing.assert_allclose(
