@@ -80,13 +80,51 @@ class PlateauScheduler:
             return opt_state
         self.stale = 0
         self.lr *= self.factor
-        # opt_state is (clip_state, InjectStatefulHyperparamsState).
-        inner = opt_state[1]
-        new_hp = dict(inner.hyperparams)
-        new_hp["learning_rate"] = jnp.asarray(
-            self.lr, dtype=jnp.asarray(inner.hyperparams["learning_rate"]).dtype
+        return _rewrite_injected_lr(opt_state, self.lr)
+
+
+def _rewrite_injected_lr(opt_state, new_lr: float):
+    """Rewrite the ``learning_rate`` entry of the (unique) ``inject_hyperparams``
+    state inside ``opt_state``, located by structural traversal rather than a
+    positional index so optax restructuring its chain/wrapper states cannot
+    silently corrupt the wrong leaf. Raises if zero or multiple candidate
+    states are found (the unrecognized-structure case must fail loudly)."""
+    hits = []
+
+    def rewrite(node):
+        hp = getattr(node, "hyperparams", None)
+        if (
+            isinstance(hp, dict)
+            and "learning_rate" in hp
+            and hasattr(node, "_replace")
+        ):
+            hits.append(type(node).__name__)
+            new_hp = dict(hp)
+            new_hp["learning_rate"] = jnp.asarray(
+                new_lr, dtype=jnp.asarray(hp["learning_rate"]).dtype
+            )
+            return node._replace(hyperparams=new_hp)
+        if hasattr(node, "_fields") and hasattr(node, "_replace"):
+            # A namedtuple state: recurse into fields (containers are rebuilt;
+            # array leaves and param pytrees pass through untouched).
+            return node._replace(
+                **{f: rewrite(getattr(node, f)) for f in node._fields}
+            )
+        if isinstance(node, tuple):
+            return tuple(rewrite(c) for c in node)
+        if isinstance(node, list):
+            return [rewrite(c) for c in node]
+        return node
+
+    new_state = rewrite(opt_state)
+    if len(hits) != 1:
+        raise RuntimeError(
+            "PlateauScheduler could not locate a unique inject_hyperparams "
+            f"state carrying 'learning_rate' in the optimizer state (found "
+            f"{len(hits)}: {hits}). The optax state structure is not the one "
+            "make_optimizer builds — refusing to guess."
         )
-        return (opt_state[0], inner._replace(hyperparams=new_hp))
+    return new_state
 
 
 def _log_jsonl(log_dir: Optional[Path], fname: str, record: dict) -> None:

@@ -13,6 +13,9 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.multiprocess]
 
 
 def _free_port() -> int:

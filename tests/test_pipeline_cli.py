@@ -21,6 +21,8 @@ from news_recommendation_project_v2_tpu.pipeline import (
     TransformDataComponent,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):

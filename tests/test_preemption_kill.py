@@ -11,6 +11,9 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.multiprocess]
 
 
 def _run(mode: str, state_dir: Path, out: Path) -> subprocess.CompletedProcess:

@@ -42,9 +42,10 @@ import numpy as np
 import pytest
 
 REF = Path("/root/reference/src")
-pytestmark = pytest.mark.skipif(
-    not REF.exists(), reason="reference checkout not available"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REF.exists(), reason="reference checkout not available"),
+]
 
 torch = pytest.importorskip("torch")
 

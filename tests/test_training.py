@@ -163,6 +163,53 @@ def test_plateau_scheduler_reduces_lr(learnable):
     assert np.isfinite(np.asarray(updates["w"])).all()
 
 
+def test_plateau_rewrite_is_structural_not_positional():
+    """_rewrite_injected_lr must locate the inject_hyperparams state by
+    traversal: a differently-nested chain (extra wrappers before/after) still
+    gets its learning rate rewritten, and a state with no inject (or with two)
+    raises instead of corrupting a guessed leaf."""
+    import optax
+
+    from news_recommendation_project_v2_tpu.train.trainer import (
+        _rewrite_injected_lr,
+    )
+
+    params = {"w": jnp.zeros(3)}
+
+    # Extra nesting: inject sits at a different positional index than
+    # make_optimizer's chain, inside a second chain level.
+    opt = optax.chain(
+        optax.zero_nans(),
+        optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.inject_hyperparams(optax.adamw)(learning_rate=1e-3),
+        ),
+        optax.scale(1.0),
+    )
+    state = opt.init(params)
+    new_state = _rewrite_injected_lr(state, 5e-4)
+    flat = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x, new_state)
+    )
+    assert any(float(np.asarray(leaf)) == pytest.approx(5e-4) for leaf in flat)
+    # And the rewritten state still drives a finite update.
+    updates, _ = opt.update({"w": jnp.ones(3)}, new_state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+    # No inject state at all -> loud failure.
+    bare = optax.adamw(1e-3).init(params)
+    with pytest.raises(RuntimeError, match="unique inject_hyperparams"):
+        _rewrite_injected_lr(bare, 5e-4)
+
+    # Two inject states -> ambiguous -> loud failure.
+    twice = optax.chain(
+        optax.inject_hyperparams(optax.sgd)(learning_rate=1.0),
+        optax.inject_hyperparams(optax.adamw)(learning_rate=1e-3),
+    ).init(params)
+    with pytest.raises(RuntimeError, match="unique inject_hyperparams"):
+        _rewrite_injected_lr(twice, 5e-4)
+
+
 def test_loss_sync_cadence_equivalent(rng):
     """loss_sync_every only changes WHEN losses are fetched, never the values
     or the training trajectory."""
