@@ -167,9 +167,12 @@ class NewsEncoder(nn.Module):
     embeddings. Two layouts, selected by ``config.arch``:
 
     - ``"bert"``: XLM-R/BERT post-norm encoder (the e5 family);
-    - ``"qwen2"``: Qwen2-class causal decoder with rotary/RMSNorm/GQA/SwiGLU
-      (the NV-Embed/gte-Qwen2 family the reference loads via AutoModel,
-      ``modeling_utils.py:85-89``; pooling dispatch Qwen2->last, ``:62-75``).
+    - ``"qwen2"``: causal-decoder layout with rotary/RMSNorm/GQA/SwiGLU —
+      Qwen2, Mistral, and Llama checkpoints all map onto it (they share
+      state-dict keys; only q/k/v bias presence differs). This covers the
+      gte-Qwen2 family and the Mistral base NV-Embed-class models are built
+      on (reference AutoModel load ``modeling_utils.py:85-89``,
+      ``get_nvembed_model`` ``:371-399``; pooling dispatch ->last, ``:62-75``).
     """
 
     config: EncoderConfig = EncoderConfig()
@@ -406,6 +409,17 @@ _SUPPORTED_ARCHS = {
     "BertForMaskedLM": ("bert", "first"),
     "Qwen2Model": ("qwen2", "last"),
     "Qwen2ForCausalLM": ("qwen2", "last"),
+    # Mistral/Llama share the Qwen2 decoder layout (rotate-half rotary, GQA,
+    # RMSNorm, SwiGLU, identical state-dict keys) modulo q/k/v biases, which
+    # these families omit (HF ``attention_bias`` defaults False). This is the
+    # base family NV-Embed-class models are built on (reference
+    # ``get_nvembed_model``, ``modeling_utils.py:371-399``); the remote-code
+    # wrapper itself (latent-attention pooling head) stays a designed boundary
+    # — see MIGRATION.md.
+    "MistralModel": ("qwen2", "last"),
+    "MistralForCausalLM": ("qwen2", "last"),
+    "LlamaModel": ("qwen2", "last"),
+    "LlamaForCausalLM": ("qwen2", "last"),
 }
 
 
@@ -424,7 +438,7 @@ def encoder_config_from_hf(hf_config: dict, **overrides) -> EncoderConfig:
         raise ValueError(
             f"architecture {arch_name!r} is not supported; supported HF "
             f"architectures: {sorted(_SUPPORTED_ARCHS)} (BERT/XLM-R encoder "
-            "layouts and Qwen2-class decoder layouts)"
+            "layouts and Qwen2/Mistral/Llama-class decoder layouts)"
         ) from None
     cfg = EncoderConfig(
         vocab_size=hf_config["vocab_size"],
@@ -441,8 +455,10 @@ def encoder_config_from_hf(hf_config: dict, **overrides) -> EncoderConfig:
         num_kv_heads=hf_config.get("num_key_value_heads"),
         head_dim=hf_config.get("head_dim"),
         rope_theta=hf_config.get("rope_theta", 10000.0),
-        # Qwen2 always biases q/k/v; Qwen3-style configs expose attention_bias.
-        qkv_bias=hf_config.get("attention_bias", True),
+        # Qwen2 always biases q/k/v (its configs predate the field);
+        # Mistral/Llama (and Qwen3-style configs) expose ``attention_bias``
+        # and default to bias-free.
+        qkv_bias=hf_config.get("attention_bias", arch_name.startswith("Qwen2")),
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 

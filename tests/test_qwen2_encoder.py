@@ -142,7 +142,7 @@ def test_qwen2_checkpoint_dir_end_to_end(qwen2_ref, tmp_path, rng):
 def test_unsupported_architecture_is_a_designed_boundary():
     """NV-Embed-style remote-code architectures raise a clear ValueError
     naming the supported families — not a KeyError mid-conversion."""
-    for arch in ("NVEmbedModel", "NewModel", "MistralModel"):
+    for arch in ("NVEmbedModel", "NewModel", "GPT2Model"):
         with pytest.raises(ValueError, match="not supported; supported"):
             encoder_config_from_hf({**BASE_HF, "architectures": [arch]})
 
