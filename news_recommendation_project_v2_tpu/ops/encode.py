@@ -360,6 +360,92 @@ class TokenStore:
         return cls(states=states, offsets=offsets)
 
     @classmethod
+    def from_reference_sqlite(
+        cls,
+        db_path: Path,
+        out_dir: Optional[Path] = None,
+        dtype=None,
+    ) -> "TokenStore":
+        """Import the reference's SQLite token-state DB (``mydb_train.sqlite``
+        et al.) — the ``tensors(id INTEGER PRIMARY KEY, data BLOB)`` table of
+        mask-trimmed torch-pickled ``[L_i, D]`` tensors that
+        ``store_text_embed_full_eval`` writes (reference
+        ``modeling_utils.py:456-473``; 1-based implicit rowids in corpus
+        order, readback ``data_utils.py:878-890``).
+
+        With ``out_dir`` the import streams OUT-OF-CORE: two passes over the
+        DB (lengths, then rows) filling a memmapped ``states.npy``, so a
+        MIND-scale store (~137GB f32) imports in O(one blob) memory; the
+        returned store is the memmap-backed ``open_dir(out_dir)``. Without it
+        the states are assembled in RAM. ``dtype`` optionally downcasts
+        (e.g. ``np.float16``, halving the store like ``build_token_store``'s
+        f16 option). Needs ``torch`` to unpickle the blobs (migration-time
+        only — nothing in the serving path)."""
+        import io
+        import sqlite3
+
+        import torch
+
+        db_path = Path(db_path)
+        if not db_path.exists():
+            raise FileNotFoundError(db_path)
+
+        def rows(conn):
+            # id order IS corpus order (1-based implicit rowids).
+            cur = conn.execute("SELECT id, data FROM tensors ORDER BY id")
+            expect = 1
+            for rowid, blob in cur:
+                if rowid != expect:
+                    raise ValueError(
+                        f"reference token DB has non-contiguous ids (expected "
+                        f"{expect}, got {rowid}) — ids must be the implicit "
+                        "1..N rowids store_text_embed_full_eval writes"
+                    )
+                expect += 1
+                with io.BytesIO(blob) as f:
+                    t = torch.load(f, map_location="cpu", weights_only=True)
+                yield np.asarray(t.float().numpy())
+
+        with sqlite3.connect(db_path) as conn:
+            if out_dir is None:
+                arrays = [
+                    a if dtype is None else a.astype(dtype) for a in rows(conn)
+                ]
+                return cls.from_ragged(arrays)
+
+            # Out-of-core: pass 1 sizes the memmap, pass 2 fills it.
+            lens, dim = [], None
+            for a in rows(conn):
+                lens.append(len(a))
+                if dim is None:
+                    dim = a.shape[1]
+                    out_dtype = np.dtype(dtype or a.dtype)
+                elif a.shape[1] != dim:
+                    raise ValueError(
+                        f"inconsistent hidden dim in token DB: {a.shape[1]} "
+                        f"vs {dim}"
+                    )
+            if dim is None:
+                raise ValueError(f"token DB {db_path} is empty")
+            offsets = np.concatenate(
+                [[0], np.cumsum(np.asarray(lens, np.int64))]
+            )
+            out_dir = Path(out_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            np.save(out_dir / "offsets.npy", offsets)
+            states = np.lib.format.open_memmap(
+                out_dir / "states.npy",
+                mode="w+",
+                dtype=out_dtype,
+                shape=(int(offsets[-1]), dim),
+            )
+            for i, a in enumerate(rows(conn)):
+                states[offsets[i] : offsets[i + 1]] = a
+            states.flush()
+            del states
+        return cls.open_dir(out_dir)
+
+    @classmethod
     def from_ragged(cls, arrays: list[np.ndarray]) -> "TokenStore":
         lens = np.array([len(a) for a in arrays], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)])
