@@ -1,0 +1,369 @@
+"""L4/L5 head-to-head: the reference's OWN ``Pipeline`` vs ours — VERDICT r3
+item 1.
+
+Round 3 proved all five *trainer* loops head-to-head; this test closes the
+last unproven integration seam above them: the reference's top-level
+composition — ``Pipeline.train`` threading ``context_dict`` through
+``TransformData -> LoadEmbedding -> Classification -> Attention`` exactly as
+``scripts/train_v2.py`` wires it (``/root/reference/scripts/train_v2.py:
+94-135``, ``pipeline.py:47-90``, ``components.py:45-643``), including the
+history-row filtering and the classification-fallback score stitching
+(``data_model_helper.py:304-335``) — run end-to-end against our ``Pipeline``
+with the SAME steps (the ``nrtpu-train`` wiring, ``cli/train.py:121-149``)
+on the same fixture from weight-converted identical initializations.
+
+Controlled-comparison design (same levers as
+``tests/test_reference_head_to_head.py``):
+- with-history impressions hold exactly [1 pos, 1 neg] (one [1 pos, 2 neg]
+  row keeps lengths ragged, which the reference's ``group_items`` needs), so
+  both pair samplers are forced to identical pair sets;
+- one full batch per epoch on both sides; dropout zeroed; labels carry a
+  learnable cosine signal so best-checkpoint gating picks the same epoch on
+  both sides;
+- ~1/4 of the rows have NO history: they exercise the seam under test —
+  ``history_bool`` filtering into the attention trainer and the
+  classification-score fallback in the final composition.
+
+Asserts the composed final scores (every slot, train and val) and the
+``final_scores.jsonl``-style metrics agree.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REF = Path("/root/reference/src")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REF.exists(), reason="reference checkout not available"),
+]
+
+torch = pytest.importorskip("torch")
+
+if REF.exists():
+    sys.path.insert(0, str(REF))
+    if "dotenv" not in sys.modules:
+        dotenv = types.ModuleType("dotenv")
+        dotenv.load_dotenv = lambda *a, **k: None
+        sys.modules["dotenv"] = dotenv
+    if "azure.storage.blob" not in sys.modules:
+        azure = types.ModuleType("azure")
+        storage = types.ModuleType("azure.storage")
+        blob = types.ModuleType("azure.storage.blob")
+        blob.ContainerClient = object
+        blob.BlobClient = object
+        sys.modules.update(
+            {"azure": azure, "azure.storage": storage, "azure.storage.blob": blob}
+        )
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from news_recommendation_project_v2_tpu.config import (  # noqa: E402
+    TowerConfig,
+    TrainConfig,
+)
+from news_recommendation_project_v2_tpu.models import ClassificationHead  # noqa: E402
+from news_recommendation_project_v2_tpu.models.convert_towers import (  # noqa: E402
+    convert_classification_head,
+    convert_transformer_tower,
+)
+from news_recommendation_project_v2_tpu.pipeline import (  # noqa: E402
+    AttentionComponent,
+    ClassificationComponent,
+    Pipeline,
+    TransformDataComponent,
+)
+
+D = 32
+ROWS = 96
+NUM_NEWS = 64
+CLS_EPOCHS = 1  # train_v2.py:52 wires num_epochs=1 for classification
+ATTN_EPOCHS = 3
+BATCH = 1024  # > any per-epoch sample count: one full batch on both sides
+METRIC_KEYS = ("auc", "mrr", "ndcg5", "ndcg10")
+ENT_DIM = 4
+
+
+def _sd(model):
+    return {k: v.detach().cpu().numpy().copy() for k, v in model.state_dict().items()}
+
+
+def _make_behaviors(rng, rows, emb, imp_prefix):
+    """Forced-pair impressions with a learnable cosine signal; every 4th row
+    has NO history (cold-start: the composition's classification fallback);
+    rows 0 (with history) and 3 (without) carry a third candidate to keep
+    group lengths ragged on both eval paths."""
+    impressions, history = [], []
+    for i in range(rows):
+        has_hist = i % 4 != 3
+        if has_hist:
+            k = int(rng.integers(2, 9))
+            hist_ids = rng.choice(NUM_NEWS, size=k, replace=False)
+            user = emb[hist_ids].mean(0)
+        else:
+            hist_ids = None
+            user = rng.standard_normal(D).astype(np.float32)
+        ncand = 3 if i in (0, 3) else 2
+        cand = rng.choice(NUM_NEWS, size=ncand, replace=False)
+        labs = np.zeros(ncand, np.int64)
+        labs[int(np.argmax(emb[cand] @ user))] = 1
+        impressions.append(" ".join(f"N{c}-{l}" for c, l in zip(cand, labs)))
+        # None, not np.nan: the reference only survives missing history
+        # because pyarrow's parquet round-trip yields None (falsy) where the
+        # raw TSV read had NaN (truthy float -> .split() crash); we feed the
+        # post-parquet representation (data_utils.py:178-186 `if hist_row:`).
+        history.append(
+            " ".join(f"N{j}" for j in hist_ids) if hist_ids is not None else None
+        )
+    return pd.DataFrame(
+        {
+            "ImpressionID": [f"{imp_prefix}{i}" for i in range(rows)],
+            "Impressions": impressions,
+            # dtype=object keeps missing history as None (falsy) — pandas 3's
+            # default str dtype would coerce it back to NaN, which the
+            # reference's `if hist_row:` cannot survive.
+            "History": pd.Series(history, dtype=object),
+        }
+    )
+
+
+def _feature_dicts(news_ids, rng):
+    return {
+        "news_text_dict": {n: f"Title: story {n}" for n in news_ids},
+        "news_category": {n: int(rng.integers(0, 5)) for n in news_ids},
+        "news_subcategory": {n: int(rng.integers(0, 9)) for n in news_ids},
+        "news_title_entity": {
+            n: rng.standard_normal(ENT_DIM).astype(np.float32) for n in news_ids
+        },
+        "news_abstract_entity": {
+            n: rng.standard_normal(ENT_DIM).astype(np.float32) for n in news_ids
+        },
+    }
+
+
+def test_pipeline_head_to_head(tmp_path, monkeypatch):
+    import news_rec_utils.components as ref_components
+    import news_rec_utils.data_model_helper as ref_helper_mod
+    import news_rec_utils.modeling_utils as ref_modeling
+    import news_rec_utils.trainer as ref_trainer_mod
+    from news_rec_utils.config import NewsDataset as RefNewsDataset
+    from news_rec_utils.data_utils import split_impressions_and_history
+    from news_rec_utils.evaluation import score as ref_score
+    from news_rec_utils.pipeline import Pipeline as RefPipeline
+
+    from news_recommendation_project_v2_tpu.data import compile_behaviors
+
+    # --- controlled environment for the reference executable ---------------
+    # Tiny dims instead of the hardcoded production 1024 (config.py:29-31).
+    monkeypatch.setattr(ref_modeling, "EMBEDDING_DIM", D)
+    monkeypatch.setattr(ref_modeling, "REDUCED_DIM", D)
+    # CUDA memory probes -> one full batch; DataLoader workers -> in-process.
+    monkeypatch.setattr(
+        ref_trainer_mod, "get_classification_train_batch_size", lambda m, o: BATCH
+    )
+    monkeypatch.setattr(
+        ref_trainer_mod, "get_attention_train_batch_size", lambda m, o: BATCH
+    )
+    monkeypatch.setattr(
+        ref_helper_mod, "get_attention_inference_batch_size", lambda m: 2 * BATCH
+    )
+    monkeypatch.setattr(ref_trainer_mod, "NUM_WORKERS", 0)
+    monkeypatch.setattr(ref_helper_mod, "NUM_WORKERS", 0)
+    # components.py:368 hardcodes .to(device="cuda") after the best-ckpt
+    # reload; map cuda -> cpu for this box.
+    orig_to = torch.nn.Module.to
+
+    def _to_cpu(self, *args, **kwargs):
+        args = tuple(
+            "cpu"
+            if isinstance(a, (str, torch.device)) and "cuda" in str(a)
+            else a
+            for a in args
+        )
+        if "device" in kwargs and "cuda" in str(kwargs.get("device")):
+            kwargs["device"] = "cpu"
+        return orig_to(self, *args, **kwargs)
+
+    monkeypatch.setattr(torch.nn.Module, "to", _to_cpu)
+
+    # --- shared fixture -----------------------------------------------------
+    rng = np.random.default_rng(21)
+    emb_table = (rng.standard_normal((NUM_NEWS, D)) * 0.5).astype(np.float32)
+    train_behaviors = _make_behaviors(rng, ROWS, emb_table, "T")
+    val_behaviors = _make_behaviors(rng, ROWS, emb_table, "V")
+    feats = _feature_dicts([f"N{i}" for i in range(NUM_NEWS)], rng)
+
+    # Embedding dumps: the reference loads {dataset}.pt in ITS news_list
+    # order; ours loads an id-keyed dump realigned to compiled order.
+    ref_dump = tmp_path / "ref_emb"
+    ref_dump.mkdir()
+    our_dump = tmp_path / "our_emb"
+    split_news, compiled_sets, tables = {}, {}, {}
+    for name, behaviors, ds in (
+        ("train", train_behaviors, RefNewsDataset.MINDsmall_train),
+        ("val", val_behaviors, RefNewsDataset.MINDsmall_dev),
+    ):
+        ref_split = split_impressions_and_history(
+            behaviors["Impressions"], behaviors["History"]
+        )
+        compiled = compile_behaviors(
+            behaviors["Impressions"].tolist(), behaviors["History"].tolist()
+        )
+        # The unique-news tables must be identically ordered for one table to
+        # serve both sides (oracle-tested; re-asserted here).
+        np.testing.assert_array_equal(
+            np.asarray(ref_split["news_list"]), compiled.news_ids
+        )
+        table = np.stack(
+            [emb_table[int(n[1:])] for n in compiled.news_ids]
+        ).astype(np.float32)
+        torch.save(torch.from_numpy(table), ref_dump / f"{ds.value}.pt")
+        from news_recommendation_project_v2_tpu.ops.encode import save_embeddings
+
+        # Query dump = passage dump: _PerSplitLoad loads with_query=True and
+        # the reference side scores with news_embeddings only
+        # (query_news_embeddings is None in get_cos_sim_scores), so equal
+        # tables keep both sides numerically identical.
+        save_embeddings(
+            our_dump, ds.value, table, table, news_ids=compiled.news_ids
+        )
+        split_news[name], compiled_sets[name], tables[name] = (
+            ref_split,
+            compiled,
+            table,
+        )
+
+    # --- identical inits ----------------------------------------------------
+    torch.manual_seed(5)
+    ref_cls_component = ref_components.ClassificationComponent(
+        log_dir=tmp_path / "ref_logs",
+        ckpt_dir=tmp_path / "ref_models" / "classification_head",
+        num_epochs=CLS_EPOCHS,
+        exp_name="h2h",
+        rng=np.random.default_rng(1234),
+    )
+    ref_attn_component = ref_components.AttentionComponent(
+        log_dir=tmp_path / "ref_logs",
+        ckpt_dir=tmp_path / "ref_models" / "attention_model",
+        num_epochs=ATTN_EPOCHS,
+        exp_name="h2h",
+        rng=np.random.default_rng(1234),
+    )
+    for m in ref_attn_component.attention_model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    cls_init = convert_classification_head(_sd(ref_cls_component.model))
+    attn_init = convert_transformer_tower(
+        _sd(ref_attn_component.attention_model), num_layers=1
+    )
+
+    # --- run the reference's own Pipeline (train_v2.py wiring) --------------
+    for d in ("ref_logs", "our_logs"):
+        (tmp_path / d).mkdir(exist_ok=True)
+    (tmp_path / "ref_models" / "classification_head").mkdir(parents=True)
+    (tmp_path / "ref_models" / "attention_model").mkdir(parents=True)
+    ref_pipe = RefPipeline(
+        "h2h_pipeline",
+        [
+            ("init_transform", ref_components.TransformData()),
+            ("load_embedding", ref_components.LoadEmbeddingComponent(ref_dump)),
+            ("classification", ref_cls_component),
+            ("only_attention", ref_attn_component),
+        ],
+        use_cache=False,
+    )
+    ref_ctx, ref_val_ctx = ref_pipe.train(
+        context_dict={
+            "news_dataset": RefNewsDataset.MINDsmall_train,
+            "behaviors": train_behaviors,
+            **feats,
+        },
+        val_context_dict={
+            "news_dataset": RefNewsDataset.MINDsmall_dev,
+            "behaviors": val_behaviors,
+            **feats,
+        },
+    )
+    ref_train_metrics = ref_score(ref_ctx["grouped_scores"], ref_ctx["labels"])
+    ref_val_metrics = ref_score(
+        ref_val_ctx["grouped_scores"], ref_val_ctx["labels"]
+    )
+
+    # --- run OUR Pipeline with the same steps (cli/train.py wiring) ---------
+    from news_recommendation_project_v2_tpu.cli.train import _PerSplitLoad
+
+    class _PresetClassification(ClassificationComponent):
+        """Injects the weight-converted torch init (the component normally
+        seeds its own)."""
+
+        def _head_and_params(self, dim):
+            head = ClassificationHead(in_dim=dim, hidden_dim=dim)
+            return head, jax.tree.map(jnp.asarray, cls_init)
+
+    our_cls = _PresetClassification(
+        cfg=TrainConfig(num_epochs=CLS_EPOCHS, batch_size=BATCH, seed=0),
+        log_dir=tmp_path / "our_logs",
+        ckpt_dir=tmp_path / "our_models" / "classification",
+        exp_name="h2h",
+    )
+    our_attn = AttentionComponent(
+        tower_config=TowerConfig(
+            kind="transformer",
+            reduced_dim=D,
+            num_layers=1,
+            as_built=True,  # the reference's NewAttention quirk, bit-for-bit
+            dropout_rate=0.0,
+        ),
+        cfg=TrainConfig(num_epochs=ATTN_EPOCHS, batch_size=BATCH, seed=0),
+        log_dir=tmp_path / "our_logs",
+        ckpt_dir=tmp_path / "our_models" / "attention",
+        exp_name="h2h",
+    )
+    our_attn.params = jax.tree.map(jnp.asarray, attn_init)
+
+    our_pipe = Pipeline(
+        name="h2h_pipeline",
+        steps=[
+            ("init_transform", TransformDataComponent()),
+            ("load_embedding", _PerSplitLoad(our_dump)),
+            ("classification", our_cls),
+            ("only_attention", our_attn),
+        ],
+        use_cache=False,
+    )
+    our_ctx = {
+        "behaviors": train_behaviors,
+        "dataset_name": RefNewsDataset.MINDsmall_train.value,
+        **feats,
+    }
+    our_val_ctx = {
+        "behaviors": val_behaviors,
+        "dataset_name": RefNewsDataset.MINDsmall_dev.value,
+        **feats,
+    }
+    our_ctx, our_val_ctx = our_pipe.train(our_ctx, our_val_ctx)
+
+    # --- the seam: composed final scores + final metrics, train AND val -----
+    for split, ref_c, our_c in (
+        ("train", ref_ctx, our_ctx),
+        ("val", ref_val_ctx, our_val_ctx),
+    ):
+        ref_scores = np.asarray(ref_c["scores"], np.float64)
+        our_scores = np.asarray(our_c["scores"], np.float64)
+        assert ref_scores.shape == our_scores.shape, split
+        np.testing.assert_allclose(
+            our_scores, ref_scores, atol=2e-3, rtol=0,
+            err_msg=f"{split}: composed per-slot final scores",
+        )
+    for key in METRIC_KEYS:
+        assert our_ctx["metrics"][key] == pytest.approx(
+            ref_train_metrics[key], abs=1e-3
+        ), f"train {key}"
+        assert our_val_ctx["metrics"][key] == pytest.approx(
+            ref_val_metrics[key], abs=1e-3
+        ), f"val {key}"
