@@ -139,7 +139,8 @@ def main_flat(batches=(512, 1024, 2048)):
         )
 
 
-def main_epoch(num_rows=60_000, batch_size=2048, loss_sync_every=64):
+def main_epoch(num_rows=60_000, batch_size=2048, loss_sync_every=64,
+               num_news=NUM_NEWS):
     """END-TO-END training-epoch wall clock at MIND-like statistics: the full
     `TowerTrainer.train_one_epoch` — vectorized epoch sampling, host batch
     building (dedup, flat token packing) overlapped by the prefetcher, jitted
@@ -151,7 +152,8 @@ def main_epoch(num_rows=60_000, batch_size=2048, loss_sync_every=64):
     geometric histories mean ~33 capped 600, 65k-news corpus).
     """
     print(
-        f"backend: {jax.default_backend()}, mode=epoch rows={num_rows}",
+        f"backend: {jax.default_backend()}, mode=epoch rows={num_rows} "
+        f"news={num_news}",
         file=sys.stderr,
     )
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
@@ -164,16 +166,16 @@ def main_epoch(num_rows=60_000, batch_size=2048, loss_sync_every=64):
         rng.lognormal(np.log(30.0), 0.7, size=num_rows), 2, 300
     ).astype(np.int32)
     total_imp = int(imp_lens.sum())
-    imp_rev = rng.integers(0, NUM_NEWS, total_imp).astype(np.int32)
+    imp_rev = rng.integers(0, num_news, total_imp).astype(np.int32)
     labels = np.zeros(total_imp, np.int8)
     offs = np.concatenate([[0], np.cumsum(imp_lens)])
     labels[offs[:-1]] = 1  # exactly one positive per impression (MIND-typical)
     hist_lens = np.clip(rng.geometric(1 / 33.0, size=num_rows), 1, 600).astype(
         np.int32
     )
-    hist_rev = rng.integers(0, NUM_NEWS, int(hist_lens.sum())).astype(np.int32)
+    hist_rev = rng.integers(0, num_news, int(hist_lens.sum())).astype(np.int32)
     compiled = CompiledBehaviors(
-        news_ids=np.arange(NUM_NEWS).astype(str),
+        news_ids=np.arange(num_news).astype(str),
         imp_rev=imp_rev,
         imp_row=np.repeat(np.arange(num_rows, dtype=np.int32), imp_lens),
         imp_lens=imp_lens,
@@ -184,7 +186,7 @@ def main_epoch(num_rows=60_000, batch_size=2048, loss_sync_every=64):
         labels_flat=labels,
         label_present=True,
     )
-    emb = jax.jit(lambda k: jax.random.normal(k, (NUM_NEWS, DIM)))(jax.random.key(0))
+    emb = jax.jit(lambda k: jax.random.normal(k, (num_news, DIM)))(jax.random.key(0))
     tower = build_tower(TowerConfig(kind="latent"))
     params = jax.jit(
         lambda: tower.init(jax.random.key(0), jnp.zeros((1, L, DIM)), jnp.ones((1, L)))
@@ -209,12 +211,38 @@ def main_epoch(num_rows=60_000, batch_size=2048, loss_sync_every=64):
     t0 = time.perf_counter()
     loss2 = trainer.train_one_epoch()
     dt = time.perf_counter() - t0
+    # $/epoch at the v5e-1 on-demand list price (us-central, $1.20/chip-hour):
+    # the BASELINE configs[3..4] planning number.
+    dollars = dt / 3600.0 * 1.20
     print(
         f"epoch at MIND stats: {num_rows} rows, {total_pairs:,} pairs, "
         f"B={batch_size}, sync={loss_sync_every}: "
         f"warm-epoch {dt:.1f}s -> {total_pairs / dt:,.0f} pairs/s END-TO-END "
-        f"(first epoch incl. compiles {warm:.1f}s; losses {loss1:.4f} -> {loss2:.4f})"
+        f"(first epoch incl. compiles {warm:.1f}s; losses {loss1:.4f} -> "
+        f"{loss2:.4f}; ~${dollars:.4f}/epoch at $1.20/chip-hour)"
     )
+
+
+def main_epoch_large():
+    """MIND-LARGE-scale epoch (VERDICT r3 #9): >=200k impressions over a
+    >=104k-news corpus — the scale BASELINE configs[3..4] target. Also prints
+    the memory model's path verdicts at this scale (device store vs
+    streaming), so the auto-selection claims are checked where they matter."""
+    from news_recommendation_project_v2_tpu.utils.memory import (
+        fits_device_token_store,
+    )
+
+    num_news = 104_151
+    for label, tokens_per_news in (("title-only (T~24)", 24), ("full-text (T=512)", 512)):
+        fits = fits_device_token_store(
+            total_tokens=num_news * tokens_per_news, dim=DIM
+        )
+        print(
+            f"memory model at MIND-large, {label}: device token store "
+            f"{'fits HBM (device path)' if fits else 'exceeds HBM (streaming path)'}",
+            file=sys.stderr,
+        )
+    main_epoch(num_rows=200_000, num_news=num_news)
 
 
 if __name__ == "__main__":
@@ -222,5 +250,7 @@ if __name__ == "__main__":
         main_flat(tuple(int(b) for b in sys.argv[2:]) or (512, 1024, 2048))
     elif len(sys.argv) > 1 and sys.argv[1] == "epoch":
         main_epoch(*(int(x) for x in sys.argv[2:]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "epoch-large":
+        main_epoch_large()
     else:
         main()

@@ -472,20 +472,38 @@ def materialize_from_token_store(
     the analytic memory model (reference
     ``get_token_attention_inference_batch_size``). With ``dev_states`` (the
     store's flat states already resident in HBM) each batch uploads only its
-    [B, T] index grid and gathers on device."""
+    [B, T] index grid and gathers on device.
+
+    Dispatches are PIPELINED: up to ``pipeline_depth`` chunks stay in flight
+    and results are fetched in order as the window slides, so per-chunk
+    dispatch+fetch latency (the whole cost on high-RTT hosts — see
+    ``benchmarks/train_profile.py mat``) overlaps with device compute instead
+    of serializing with it. Bounded, not unbounded: deep async queues stall
+    on tunneled links."""
     from ..config import bucket_for_open
 
+    n = store.num_items
     if batch_size is None:
         from ..utils.memory import estimate_token_attention_batch
 
         batch_size = min(
             1024,
+            # No batch larger than the corpus rounded up to a power of two
+            # (pad rows are computed then discarded).
+            max(8, 1 << max(0, int(n) - 1).bit_length()),
             estimate_token_attention_batch(
                 dim=int(store.states.shape[1]), token_len=max_token_len
             ),
         )
-    n = store.num_items
     out = []
+    pending: list[tuple] = []  # (device array, live row count), FIFO
+    pipeline_depth = 4
+
+    def drain(limit: int) -> None:
+        while len(pending) > limit:
+            vecs, keep = pending.pop(0)
+            out.append(np.asarray(vecs)[:keep])
+
     apply = jax.jit(lambda p, s, m: token_encoder_apply(p, s, m))
     apply_gathered = jax.jit(
         lambda p, flat, i, m: token_encoder_apply(
@@ -502,12 +520,15 @@ def materialize_from_token_store(
             tok_idx, mask = store.padded_index_batch(
                 idx, T, out_rows=batch_size, max_len=max_token_len
             )
-            vecs = np.asarray(
-                apply_gathered(
-                    params, dev_states, jnp.asarray(tok_idx), jnp.asarray(mask)
+            pending.append(
+                (
+                    apply_gathered(
+                        params, dev_states, jnp.asarray(tok_idx), jnp.asarray(mask)
+                    ),
+                    len(idx),
                 )
             )
-            out.append(vecs[: len(idx)])
+            drain(pipeline_depth)
             continue
         states, mask = store.gather_padded(idx, max_len=max_token_len)
         T = bucket_for_open(states.shape[1], token_buckets)
@@ -524,8 +545,11 @@ def materialize_from_token_store(
             ((0, batch_size - len(idx)), (0, max(0, T - mask.shape[1]))),
         )
         mask[len(idx):, 0] = 1.0  # keep pad rows non-degenerate
-        vecs = np.asarray(apply(params, jnp.asarray(states), jnp.asarray(mask)))
-        out.append(vecs[: len(idx)])
+        pending.append(
+            (apply(params, jnp.asarray(states), jnp.asarray(mask)), len(idx))
+        )
+        drain(pipeline_depth)
+    drain(0)
     return np.concatenate(out)
 
 

@@ -649,7 +649,7 @@ class TokenEmbeddingsComponent(PipelineComponent):
 
     token_encoder_apply: Callable
     token_encoder_params: Any
-    batch_size: int = 64
+    batch_size: Optional[int] = None  # None -> analytic memory model
     max_token_len: int = 512
     required_keys = {"token_store"}
     cacheable = False

@@ -1338,7 +1338,7 @@ class EndToEndTrainer(ResumableTrainer):
         return self.history
 
     def materialize_news_embeddings(
-        self, batch_size: int = 64, store=None
+        self, batch_size: Optional[int] = None, store=None
     ) -> np.ndarray:
         """Learned token encoder over the whole store -> [N, D] news embeddings
         (reference ``apply_token_attn``; shared helper in ``ops.encode``)."""
