@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 from pathlib import Path
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -595,35 +595,53 @@ def build_token_store(
     hidden_dim: Optional[int] = None
     states = None  # allocated lazily once D is known from the first batch
     arrays: list[Optional[np.ndarray]] = [None] * n
+    # Pipelined dispatch (see materialize_from_token_store): up to two [B,T,D]
+    # hidden blocks stay in flight so the encoder computes the next chunk
+    # while this one's fetch/trim/memmap-write runs — bounded at 2 because
+    # each pending block holds ~B*T*D*4 bytes of HBM.
+    pending: list[tuple[np.ndarray, Any]] = []  # (rows, device hidden)
+
+    def drain(limit: int) -> None:
+        nonlocal states, hidden_dim, out_dir
+        while len(pending) > limit:
+            rows_d, dev = pending.pop(0)
+            hidden = np.asarray(dev)
+            if out_dir is not None and states is None:
+                hidden_dim = hidden.shape[-1]
+                out_dir = Path(out_dir)
+                out_dir.mkdir(parents=True, exist_ok=True)
+                states = np.lib.format.open_memmap(
+                    out_dir / "states.npy",
+                    mode="w+",
+                    dtype=store_dtype,
+                    shape=(int(offsets[-1]), hidden_dim),
+                )
+            for j, row in enumerate(rows_d):
+                ln = int(lens[row])
+                trimmed = hidden[j, :ln].astype(store_dtype)
+                if states is not None:
+                    a = int(offsets[row])
+                    states[a : a + ln] = trimmed
+                else:
+                    arrays[row] = trimmed
+
     for start in range(0, n, batch_size):
         rows = row_order[start : start + batch_size]
         w = int(row_widths[rows].max())
         pad = batch_size - len(rows)
         ids_b = np.pad(np.ascontiguousarray(token_ids[rows, :w]), ((0, pad), (0, 0)))
         mask_b = np.pad(np.ascontiguousarray(token_mask[rows, :w]), ((0, pad), (0, 0)))
-        hidden = np.asarray(
-            _hidden_batch(
-                encoder_hidden_apply, params, jnp.asarray(ids_b), jnp.asarray(mask_b)
+        pending.append(
+            (
+                rows,
+                _hidden_batch(
+                    encoder_hidden_apply, params, jnp.asarray(ids_b),
+                    jnp.asarray(mask_b),
+                ),
             )
         )
-        if out_dir is not None and states is None:
-            hidden_dim = hidden.shape[-1]
-            out_dir = Path(out_dir)
-            out_dir.mkdir(parents=True, exist_ok=True)
-            states = np.lib.format.open_memmap(
-                out_dir / "states.npy",
-                mode="w+",
-                dtype=store_dtype,
-                shape=(int(offsets[-1]), hidden_dim),
-            )
-        for j, row in enumerate(rows):
-            ln = int(lens[row])
-            trimmed = hidden[j, :ln].astype(store_dtype)
-            if states is not None:
-                a = int(offsets[row])
-                states[a : a + ln] = trimmed
-            else:
-                arrays[row] = trimmed
+        drain(1)
+    drain(0)
     if out_dir is not None:
         if states is None:  # empty corpus: write a valid, empty store
             out_dir = Path(out_dir)
