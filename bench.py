@@ -317,7 +317,7 @@ def bench_train_e2e(steps=8):
     return pps
 
 
-def bench_trained_metrics(epochs=4):
+def bench_trained_metrics(epochs=3):
     """Few-epoch training on the learnable synthetic fixture, then the val
     metric pass — proves the metrics MOVE (AUC > 0.5) in the driver artifact,
     not just that the throughput is high."""
@@ -334,14 +334,13 @@ def bench_trained_metrics(epochs=4):
     from news_recommendation_project_v2_tpu.train.trainer import TowerTrainer
 
     d = 64
+    # One generated dataset, row-split into train/val: both splits' labels
+    # derive from the SAME embedding table the tower scores against.
     imps, hist, emb = synthetic_learnable_behaviors(
-        num_news=200, num_rows=600, dim=d, noise=0.05, seed=7
+        num_news=200, num_rows=800, dim=d, noise=0.05, seed=7
     )
-    v_imps, v_hist, _ = synthetic_learnable_behaviors(
-        num_news=200, num_rows=200, dim=d, noise=0.05, seed=8
-    )
-    ct = compile_behaviors(imps, hist).with_history_view()
-    cv = compile_behaviors(v_imps, v_hist).with_history_view()
+    ct = compile_behaviors(imps[:600], hist[:600]).with_history_view()
+    cv = compile_behaviors(imps[600:], hist[600:]).with_history_view()
     emb_t = jnp.asarray(align_embeddings(ct.news_ids, emb))
     emb_v = jnp.asarray(align_embeddings(cv.news_ids, emb))
     tower = build_tower(
@@ -362,6 +361,11 @@ def bench_trained_metrics(epochs=4):
         cfg=TrainConfig(
             learning_rate=3e-4, num_epochs=epochs, batch_size=128, seed=0
         ),
+        # Flat token paths: power-of-two padded shapes keep the compiled
+        # program count low (the padded bucket paths compile one program per
+        # bucket — tens of minutes through a remote-compile tunnel).
+        flat_train=True,
+        flat_eval=True,
     )
     history = trainer.train()
     auc = max(h["val"]["auc"] for h in history)
