@@ -147,6 +147,7 @@ def _feature_dicts(news_ids, rng):
 
 
 def test_pipeline_head_to_head(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # both Pipelines mkdir ./cache relative to cwd
     import news_rec_utils.components as ref_components
     import news_rec_utils.data_model_helper as ref_helper_mod
     import news_rec_utils.modeling_utils as ref_modeling
@@ -367,3 +368,199 @@ def test_pipeline_head_to_head(tmp_path, monkeypatch):
         assert our_val_ctx["metrics"][key] == pytest.approx(
             ref_val_metrics[key], abs=1e-3
         ), f"val {key}"
+
+
+def test_pipeline_v3_token_level_head_to_head(tmp_path, monkeypatch):
+    """The reference's OTHER pipeline flavor — ``scripts/train_v3.py``'s
+    token-level wiring ``TransformData -> AttentionAttentionComponent``
+    (``/root/reference/scripts/train_v3.py:112-132``,
+    ``components.py:883-952``) — run through the reference's own ``Pipeline``
+    against ours (``TransformDataComponent -> AttentionAttentionComponent``,
+    the ``nrtpu-train-e2e`` wiring), from weight-converted identical inits,
+    with the token store fed to the reference as its own sqlite format and to
+    us through ``TokenStore.from_reference_sqlite`` (the migration path a real
+    user would take). Cold-start rows exercise the component's
+    ``history_bool`` filtering (``components.py:935-943``); asserts per-epoch
+    losses and BOTH models' final parameters agree."""
+    monkeypatch.chdir(tmp_path)
+    import io
+    import json
+    import sqlite3
+
+    import news_rec_utils.components as ref_components
+    import news_rec_utils.trainer as ref_trainer_mod
+    from news_rec_utils.modeling_utils import (
+        FinalAttention as RefFA,
+        FirstAttentionPoolFunc as RefPool,
+        last_token_pool as ref_last_token_pool,
+    )
+    from news_rec_utils.pipeline import Pipeline as RefPipeline
+
+    from news_recommendation_project_v2_tpu.models import (
+        FinalAttention,
+        TokenAttentionPool,
+    )
+    from news_recommendation_project_v2_tpu.models.convert_towers import (
+        convert_final_attention,
+        convert_token_attention_pool,
+    )
+    from news_recommendation_project_v2_tpu.ops.encode import TokenStore
+    from news_recommendation_project_v2_tpu.pipeline import (
+        AttentionAttentionComponent,
+    )
+
+    HID = 2 * D
+    EPOCHS = 3
+    # Controlled environment (same levers as the trainer-level head-to-head).
+    monkeypatch.setattr(
+        ref_trainer_mod,
+        "get_attention_attention_train_batch_size",
+        lambda **kw: BATCH,
+    )
+    monkeypatch.setattr(ref_trainer_mod, "NUM_WORKERS", 0)
+    monkeypatch.setenv("ACCOUNT_URL", "https://offline.invalid")
+    monkeypatch.setenv("CONTAINER_NAME", "offline")
+    monkeypatch.setenv("BLOB_SAS_TOKEN", "offline")
+
+    class _OfflineContainer:
+        def __init__(self, **kwargs):
+            pass
+
+    monkeypatch.setattr(ref_trainer_mod, "ContainerClient", _OfflineContainer)
+
+    # The reference component builds its models at the hardcoded production
+    # dims via the modeling factories (components.py:910-911); swap in the
+    # tiny-geometry equivalents with dropout zeroed (the controlled levers).
+    torch.manual_seed(9)
+    ref_pool = RefPool(pool_func=ref_last_token_pool, embedding_dim=D, num_layers=1)
+    ref_fa = RefFA(reduced_dim=D, hidden_dim=HID)
+    for m in ref_fa.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    monkeypatch.setattr(
+        ref_components, "get_token_attn_model", lambda path=None: ref_pool
+    )
+    monkeypatch.setattr(
+        ref_components, "get_final_attention_model", lambda path=None: ref_fa
+    )
+    init_pool = convert_token_attention_pool(_sd(ref_pool), num_layers=1)
+    init_tower = convert_final_attention(_sd(ref_fa))
+
+    # Shared fixture: forced pairs + cold-start rows (the component must
+    # filter them out on both sides).
+    rng = np.random.default_rng(31)
+    emb_table = (rng.standard_normal((NUM_NEWS, D)) * 0.5).astype(np.float32)
+    behaviors = _make_behaviors(rng, ROWS, emb_table, "T")
+
+    from news_recommendation_project_v2_tpu.data import compile_behaviors
+
+    compiled = compile_behaviors(
+        behaviors["Impressions"].tolist(), behaviors["History"].tolist()
+    )
+    # Fabricate frozen per-token states in COMPILED news order (== the
+    # reference's news_list order, oracle-tested) and persist them in the
+    # reference's own sqlite format.
+    state_rng = np.random.default_rng(17)
+    toks = [
+        (
+            state_rng.standard_normal((int(state_rng.integers(3, 11)), D)) * 0.4
+        ).astype(np.float32)
+        for _ in range(compiled.num_news)
+    ]
+    db = tmp_path / "mydb_train.sqlite"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE tensors (id INTEGER PRIMARY KEY, data BLOB)")
+        for t in toks:
+            buf = io.BytesIO()
+            torch.save(torch.from_numpy(t), buf)
+            buf.seek(0)
+            conn.execute("INSERT INTO tensors (data) VALUES (?)", (buf.read(),))
+
+    feats = _feature_dicts([f"N{i}" for i in range(NUM_NEWS)], rng)
+
+    # --- the reference's own Pipeline (train_v3.py wiring) -------------------
+    ref_logs = tmp_path / "ref_logs"
+    ref_pipe = RefPipeline(
+        "v3_h2h",
+        [
+            ("init_transform", ref_components.TransformData()),
+            (
+                "attn_attn",
+                ref_components.AttentionAttentionComponent(
+                    db_name=str(db),
+                    log_dir=ref_logs,
+                    num_epochs=EPOCHS,
+                    exp_name="v3",
+                    rng=np.random.default_rng(1234),
+                ),
+            ),
+        ],
+        use_cache=False,
+    )
+    ref_pipe.train(context_dict={"behaviors": behaviors, **feats})
+    ref_losses = [
+        json.loads(line)["loss"]
+        for line in (ref_logs / "train_final_history_score.jsonl").read_text()
+        .strip()
+        .splitlines()
+    ]
+    assert len(ref_losses) == EPOCHS
+
+    # --- ours (the nrtpu-train-e2e wiring), store imported FROM the sqlite ---
+    store = TokenStore.from_reference_sqlite(db)
+    pool = TokenAttentionPool(hidden_size=D, num_layers=1, as_built=True)
+    tower = FinalAttention(reduced_dim=D, hidden_dim=HID, dropout_rate=0.0)
+    our_comp = AttentionAttentionComponent(
+        pool.apply,
+        jax.tree.map(jnp.asarray, init_pool),
+        tower.apply,
+        jax.tree.map(jnp.asarray, init_tower),
+        cfg=TrainConfig(
+            num_epochs=EPOCHS, batch_size=BATCH, learning_rate=1e-6, seed=0
+        ),
+        log_dir=tmp_path / "our_logs",
+        exp_name="v3",
+    )
+    our_pipe = Pipeline(
+        name="v3_h2h",
+        steps=[
+            ("init_transform", TransformDataComponent()),
+            ("attn_attn", our_comp),
+        ],
+        use_cache=False,
+    )
+    our_ctx, _ = our_pipe.train({"behaviors": behaviors, "token_store": store, **feats})
+
+    # --- the seam: per-epoch losses + BOTH models' final parameters ----------
+    our_losses = [h["loss"] for h in our_comp._trainer.history]
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-4, atol=1e-5)
+
+    def _leaves_close(got, want, what):
+        flat_want = dict(
+            (jax.tree_util.keystr(p), l)
+            for p, l in jax.tree_util.tree_leaves_with_path(want)
+        )
+        flat_got = jax.tree_util.tree_leaves_with_path(got)
+        assert len(flat_got) == len(flat_want)
+        for path, leaf in flat_got:
+            np.testing.assert_allclose(
+                np.asarray(leaf),
+                np.asarray(flat_want[jax.tree_util.keystr(path)]),
+                atol=2e-4,
+                rtol=0,
+                err_msg=f"{what}: {jax.tree_util.keystr(path)}",
+            )
+
+    _leaves_close(
+        our_comp._trainer.params["token_encoder"],
+        convert_token_attention_pool(_sd(ref_pool), num_layers=1),
+        "final token-encoder params",
+    )
+    _leaves_close(
+        our_comp._trainer.params["tower"],
+        convert_final_attention(_sd(ref_fa)),
+        "final tower params",
+    )
+    # The component's post-train transform materialized learned embeddings
+    # for downstream components (reference TokenEmbeddingsComponent parity).
+    assert our_ctx["news_embeddings"].shape == (compiled.num_news, D)
