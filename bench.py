@@ -175,12 +175,14 @@ def bench_ours(hist_lens, imp_lens, hist_rev, cand_rev, cand_row, labels):
 
 
 def bench_train_flat(B=2048, steps=20):
-    """Flat-token train step, worst case (no dedup): pairs/s. Same
-    construction as benchmarks/train_profile.py, so the program is shared
-    with the roofline run via the persistent compile cache."""
+    """Flat-token train step, worst case (no dedup): pairs/s. The workload
+    construction is IMPORTED from benchmarks/train_profile.py (one source of
+    truth), so the compiled program is shared with the roofline run via the
+    persistent compile cache."""
     import jax
     import jax.numpy as jnp
 
+    from benchmarks.train_profile import flat_inputs
     from news_recommendation_project_v2_tpu.config import TowerConfig, TrainConfig
     from news_recommendation_project_v2_tpu.models import build_tower
     from news_recommendation_project_v2_tpu.train.step import (
@@ -202,28 +204,7 @@ def bench_train_flat(B=2048, steps=20):
         donate_argnums=(0, 1),
     )
     emb = jax.jit(lambda k: jax.random.normal(k, (NUM_NEWS, DIM)))(jax.random.key(0))
-    rng = np.random.default_rng(0)
-    lens = np.clip(rng.geometric(1 / 29.0, size=B), 1, 600).astype(np.int64)
-    total = int(lens.sum())
-    T = max(1024, 1 << int(np.ceil(np.log2(total))))
-    tok_idx = np.zeros(T, np.int32)
-    tok_idx[:total] = rng.integers(0, NUM_NEWS, total)
-    tok_rows = np.full(T, B, np.int32)
-    tok_rows[:total] = np.repeat(np.arange(B, dtype=np.int32), lens)
-    args = tuple(
-        map(
-            jnp.asarray,
-            (
-                tok_idx,
-                tok_rows,
-                lens.astype(np.float32),
-                rng.integers(0, B, B).astype(np.int32),
-                rng.integers(0, NUM_NEWS, B).astype(np.int32),
-                rng.integers(0, NUM_NEWS, B).astype(np.int32),
-                np.ones(B, np.float32),
-            ),
-        )
-    )
+    T, total, args = flat_inputs(B, np.random.default_rng(0))
     key = jax.random.key(1)
     params, opt_state, loss = step(params, opt_state, emb, emb, *args, key)
     float(loss)
@@ -240,16 +221,17 @@ def bench_train_flat(B=2048, steps=20):
 
 def bench_train_e2e(steps=8):
     """Gathered end-to-end step (device-resident token store), e2e_bench
-    geometry: pairs/s."""
+    geometry: pairs/s. Store construction imported from
+    benchmarks/train_profile.py (one source of truth; shared compile cache)."""
     import jax
     import jax.numpy as jnp
 
+    from benchmarks.train_profile import _e2e_store
     from news_recommendation_project_v2_tpu.config import TrainConfig
     from news_recommendation_project_v2_tpu.models import (
         FinalAttention,
         TokenAttentionPool,
     )
-    from news_recommendation_project_v2_tpu.ops.encode import TokenStore
     from news_recommendation_project_v2_tpu.train.step import (
         make_end2end_train_step_gathered,
     )
@@ -257,10 +239,7 @@ def bench_train_e2e(steps=8):
 
     num_news, M, T, B, L = 8192, 2048, 64, 1024, 64
     rng = np.random.default_rng(0)
-    lens = np.clip(rng.geometric(1 / 24.0, size=num_news), 2, T).astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(lens)])
-    states = rng.standard_normal((int(offsets[-1]), DIM)).astype(np.float32) * 0.3
-    store = TokenStore(states=states, offsets=offsets)
+    store = _e2e_store(rng, num_news, T)
     dev_states = jnp.asarray(store.states)
     dev_states.block_until_ready()
 

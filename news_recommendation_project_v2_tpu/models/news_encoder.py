@@ -440,6 +440,28 @@ def encoder_config_from_hf(hf_config: dict, **overrides) -> EncoderConfig:
             f"architectures: {sorted(_SUPPORTED_ARCHS)} (BERT/XLM-R encoder "
             "layouts and Qwen2/Mistral/Llama-class decoder layouts)"
         ) from None
+    # Designed boundaries, raised LOUDLY at config time rather than silently
+    # producing wrong embeddings: the rotary path applies plain rope_theta
+    # only, and attention is always full (no sliding window).
+    if hf_config.get("rope_scaling") is not None:
+        raise ValueError(
+            f"checkpoint {arch_name!r} uses rope_scaling="
+            f"{hf_config['rope_scaling']!r}, which this rotary implementation "
+            "does not apply (plain rope_theta only) — loading it would "
+            "silently diverge from the checkpoint's positional encoding. "
+            "Llama-3.1+-style scaled-RoPE checkpoints are out of scope; "
+            "Llama/Mistral/Qwen2 checkpoints with rope_scaling null load "
+            "natively."
+        )
+    sliding = hf_config.get("sliding_window")
+    max_pos = hf_config.get("max_position_embeddings", 514)
+    if sliding is not None and sliding < min(512, max_pos):
+        raise ValueError(
+            f"checkpoint {arch_name!r} uses sliding_window={sliding} (< the "
+            "512-token news texts this framework encodes); attention here is "
+            "always full-context, so hidden states would diverge from the "
+            "checkpoint's. Windowed-attention checkpoints are out of scope."
+        )
     cfg = EncoderConfig(
         vocab_size=hf_config["vocab_size"],
         hidden_dim=hf_config["hidden_size"],

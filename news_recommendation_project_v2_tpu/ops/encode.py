@@ -406,11 +406,18 @@ class TokenStore:
                     t = torch.load(f, map_location="cpu", weights_only=True)
                 yield np.asarray(t.float().numpy())
 
-        with sqlite3.connect(db_path) as conn:
+        from contextlib import closing
+
+        # closing(): sqlite3's context manager only commits/rolls back — it
+        # does NOT close, and a multi-GB DB's fd + page cache would otherwise
+        # live until process exit in a long-lived pipeline process.
+        with closing(sqlite3.connect(db_path)) as conn:
             if out_dir is None:
                 arrays = [
                     a if dtype is None else a.astype(dtype) for a in rows(conn)
                 ]
+                if not arrays:
+                    raise ValueError(f"token DB {db_path} is empty")
                 return cls.from_ragged(arrays)
 
             # Out-of-core: pass 1 sizes the memmap, pass 2 fills it.
@@ -432,7 +439,6 @@ class TokenStore:
             )
             out_dir = Path(out_dir)
             out_dir.mkdir(parents=True, exist_ok=True)
-            np.save(out_dir / "offsets.npy", offsets)
             states = np.lib.format.open_memmap(
                 out_dir / "states.npy",
                 mode="w+",
@@ -443,6 +449,10 @@ class TokenStore:
                 states[offsets[i] : offsets[i + 1]] = a
             states.flush()
             del states
+            # offsets.npy is written LAST (build_token_store's convention):
+            # an interrupted import must not leave a directory that open_dir
+            # would load as a complete, zero-filled store.
+            np.save(out_dir / "offsets.npy", offsets)
         return cls.open_dir(out_dir)
 
     @classmethod
@@ -497,7 +507,11 @@ def materialize_from_token_store(
         )
     out = []
     pending: list[tuple] = []  # (device array, live row count), FIFO
-    pipeline_depth = 4
+    # Device-store chunks upload only [B, T] index grids (KBs) — a deep
+    # window is free. Host-streaming chunks pin their [B, T, D] f32 input
+    # block until the program runs, and the analytic batch estimator sizes B
+    # assuming ONE resident block — keep at most one extra in flight there.
+    pipeline_depth = 4 if dev_states is not None else 1
 
     def drain(limit: int) -> None:
         while len(pending) > limit:

@@ -103,7 +103,17 @@ def _rewrite_injected_lr(opt_state, new_lr: float):
             new_hp["learning_rate"] = jnp.asarray(
                 new_lr, dtype=jnp.asarray(hp["learning_rate"]).dtype
             )
-            return node._replace(hyperparams=new_hp)
+            # Keep traversing the OTHER fields (inner_state, ...): a nested
+            # inject_hyperparams must be counted so the uniqueness guard
+            # below fires instead of silently rewriting only the outer one.
+            return node._replace(
+                hyperparams=new_hp,
+                **{
+                    f: rewrite(getattr(node, f))
+                    for f in node._fields
+                    if f != "hyperparams"
+                },
+            )
         if hasattr(node, "_fields") and hasattr(node, "_replace"):
             # A namedtuple state: recurse into fields (containers are rebuilt;
             # array leaves and param pytrees pass through untouched).

@@ -122,3 +122,42 @@ def test_llama_attention_bias_true_is_respected(rng):
     np.testing.assert_allclose(
         got * mask[..., None], want * mask[..., None], atol=2e-5, rtol=0
     )
+
+
+def test_rope_scaling_rejected_loudly():
+    """Scaled-RoPE checkpoints (Llama 3.1+) must raise at config time, not
+    silently load with divergent positional encodings."""
+    with pytest.raises(ValueError, match="rope_scaling"):
+        encoder_config_from_hf(
+            {
+                **BASE_HF,
+                "architectures": ["LlamaModel"],
+                "rope_scaling": {"rope_type": "llama3", "factor": 8.0},
+            }
+        )
+    # Explicit null (what Llama-2/Mistral configs ship) loads fine.
+    cfg = encoder_config_from_hf(
+        {**BASE_HF, "architectures": ["LlamaModel"], "rope_scaling": None}
+    )
+    assert cfg.arch == "qwen2"
+
+
+def test_sliding_window_smaller_than_news_length_rejected():
+    """A window narrower than the 512-token news texts would silently change
+    attention semantics; windows >= the text length are exactly equivalent to
+    full attention and load."""
+    prod = {**BASE_HF, "max_position_embeddings": 32768}
+    with pytest.raises(ValueError, match="sliding_window"):
+        encoder_config_from_hf(
+            {**prod, "architectures": ["MistralModel"], "sliding_window": 256}
+        )
+    cfg = encoder_config_from_hf(
+        {**prod, "architectures": ["MistralModel"], "sliding_window": 4096}
+    )
+    assert cfg.arch == "qwen2"
+    # A window below 512 is still fine when the model's own position cap is
+    # lower yet: sequences can't exceed it, so the window never truncates.
+    cfg = encoder_config_from_hf(
+        {**BASE_HF, "architectures": ["MistralModel"], "sliding_window": 256}
+    )
+    assert cfg.arch == "qwen2"

@@ -149,3 +149,28 @@ def test_e2e_trainer_runs_from_imported_store(tmp_path, rng):
     hist_log = trainer.train()
     assert np.isfinite(hist_log[-1]["loss"])
     assert hist_log[-1]["loss"] < hist_log[0]["loss"]
+
+
+def test_empty_db_raises_on_both_paths(tmp_path):
+    db = tmp_path / "empty.sqlite"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE tensors (id INTEGER PRIMARY KEY, data BLOB)")
+    with pytest.raises(ValueError, match="empty"):
+        TokenStore.from_reference_sqlite(db)
+    with pytest.raises(ValueError, match="empty"):
+        TokenStore.from_reference_sqlite(db, out_dir=tmp_path / "out")
+
+
+def test_interrupted_out_of_core_import_is_not_loadable(tmp_path, rng):
+    """offsets.npy is written LAST: a directory left behind by an interrupted
+    import (states.npy present, offsets.npy absent) must not open as a
+    complete store."""
+    db = tmp_path / "tok.sqlite"
+    _write_reference_db(db, _ragged(rng, 4))
+    out = tmp_path / "store"
+    store = TokenStore.from_reference_sqlite(db, out_dir=out)
+    assert (out / "offsets.npy").exists()
+    (out / "offsets.npy").unlink()  # simulate the interruption
+    with pytest.raises(FileNotFoundError):
+        TokenStore.open_dir(out)
+    del store
