@@ -14,9 +14,13 @@ from ..config import DataSubset, NewsDataset, TowerConfig
 from ..pipeline import FinalAttentionComponent, Pipeline, TransformDataComponent
 from .common import build_context, log_final_scores
 from .train import _PerSplitLoad
+from ..utils.compile_cache import enable_persistent_compile_cache
 
 
 def main(argv=None):
+    # Durable XLA compile cache: every invocation after the first skips
+    # the 30-500s-per-program cold compiles (utils/compile_cache.py).
+    enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("data_dir", type=Path)
     parser.add_argument("--dataset", default="MINDsmall_dev", choices=NewsDataset._member_names_)

@@ -32,6 +32,7 @@ from ..config import (
     TrainConfig,
 )
 from .common import build_context, build_encoder
+from ..utils.compile_cache import enable_persistent_compile_cache
 
 
 def _compile_and_encode(data_dir, dataset, enc, tok, params, max_length):
@@ -72,6 +73,9 @@ def _row(index: int, description: str, metrics: dict) -> dict:
 
 
 def main(argv=None):
+    # Durable XLA compile cache: every invocation after the first skips
+    # the 30-500s-per-program cold compiles (utils/compile_cache.py).
+    enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("data_dir", type=Path)
     parser.add_argument("--train-dataset", default="MINDsmall_train",

@@ -19,9 +19,13 @@ from ..pipeline import (
     TransformDataComponent,
 )
 from .common import build_context, build_encoder
+from ..utils.compile_cache import enable_persistent_compile_cache
 
 
 def main(argv=None):
+    # Durable XLA compile cache: every invocation after the first skips
+    # the 30-500s-per-program cold compiles (utils/compile_cache.py).
+    enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("data_dir", type=Path)
     parser.add_argument("news_dataset", choices=NewsDataset._member_names_)

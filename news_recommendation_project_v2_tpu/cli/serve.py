@@ -29,6 +29,7 @@ import numpy as np
 
 from ..config import TowerConfig
 from ..serve import Ranker
+from ..utils.compile_cache import enable_persistent_compile_cache
 
 
 def build_ranker(
@@ -162,6 +163,9 @@ def serve_stdio(ranker: Ranker, stdin=None, stdout=None) -> None:
 
 
 def main(argv=None):
+    # Durable XLA compile cache: every invocation after the first skips
+    # the 30-500s-per-program cold compiles (utils/compile_cache.py).
+    enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("emb_dir", type=Path)
     parser.add_argument("dataset", help="embedding dump name, e.g. MINDsmall_dev")

@@ -11,6 +11,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Hermetic tests: the CLI entry points enable the persistent compile cache by
+# default (utils/compile_cache.py); don't let test invocations write to the
+# user's real cache. Individual tests monkeypatch this to cover the feature.
+os.environ.setdefault("NRTPU_COMPILE_CACHE", "0")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -251,3 +251,27 @@ def test_sharded_flat_plan_caches_programs(rng):
     s2 = plan.score(tower.apply, params, table)
     assert len(plan._fns) == 1  # same compiled program reused
     np.testing.assert_allclose(s1, s2)
+
+
+def test_tower_component_rejects_embedding_dim_mismatch():
+    """A --dim that disagrees with the embedding dump's width must raise the
+    loud boundary error, not an opaque broadcast failure deep in flax init
+    (the latent/transformer towers are residual in their input)."""
+    from news_recommendation_project_v2_tpu.config import TowerConfig
+    from news_recommendation_project_v2_tpu.pipeline.components import (
+        AttentionComponent,
+    )
+
+    comp = AttentionComponent(
+        tower_config=TowerConfig(
+            kind="latent", reduced_dim=32, num_latents=2, latent_dim_head=8
+        )
+    )
+    with pytest.raises(ValueError, match="reduced_dim"):
+        comp._init_params(64)
+    comp._init_params(32)  # matching dim initializes fine
+    assert comp.params is not None
+    # final_attention adapts its first Dense to any input width: no error.
+    fa = AttentionComponent(tower_config=TowerConfig(kind="final_attention"))
+    fa._init_params(48)
+    assert fa.params is not None
