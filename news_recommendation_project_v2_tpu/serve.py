@@ -280,6 +280,28 @@ class Ranker:
         by_shape: dict[tuple[int, int], list] = {}
         for item in prepared:
             by_shape.setdefault((item[4], item[5]), []).append(item)
+
+        # Pipelined dispatch (the bounded in-flight window that lifted
+        # token-store materialization 653 -> 4,740-7,870 news/s, ops/encode.py
+        # materialize_from_token_store): dispatch every shape-group's device
+        # call asynchronously and fetch results as the window slides, instead
+        # of one synchronous dispatch+fetch round trip PER group — on tunneled
+        # hosts the per-call RTT, not the compute, dominates a multi-group
+        # batch. Inputs per call are KB-scale int grids, so a deep window
+        # pins no meaningful memory.
+        pending: list[tuple] = []  # (device scores, chunk), FIFO
+        pipeline_depth = 4
+
+        def drain(limit: int) -> None:
+            while len(pending) > limit:
+                dev, chunk = pending.pop(0)
+                scores = np.asarray(dev)
+                for j, (req_i, start, _, known, _, _) in enumerate(chunk):
+                    s = np.where(
+                        np.asarray(known) >= 0, scores[j, : len(known)], -np.inf
+                    )
+                    merged[req_i][start] = s
+
         for (L, C), group in by_shape.items():
             # The group's batch axis runs at power-of-two sizes capped at the
             # memory-model cap (larger groups chunk): without padding, every
@@ -300,22 +322,22 @@ class Ranker:
                     hist_idx[j, : len(hist)] = hist
                     hist_mask[j, : len(hist)] = 1.0
                     cand_idx[j, : len(known)] = np.maximum(known, 0)
-                scores = np.asarray(
-                    _rank_many(
-                        self.tower_apply,
-                        self.params,
-                        self.news_emb,
-                        self.query_emb,
-                        jnp.asarray(hist_idx),
-                        jnp.asarray(hist_mask),
-                        jnp.asarray(cand_idx),
+                pending.append(
+                    (
+                        _rank_many(
+                            self.tower_apply,
+                            self.params,
+                            self.news_emb,
+                            self.query_emb,
+                            jnp.asarray(hist_idx),
+                            jnp.asarray(hist_mask),
+                            jnp.asarray(cand_idx),
+                        ),
+                        chunk,
                     )
                 )
-                for j, (req_i, start, _, known, _, _) in enumerate(chunk):
-                    s = np.where(
-                        np.asarray(known) >= 0, scores[j, : len(known)], -np.inf
-                    )
-                    merged[req_i][start] = s
+                drain(pipeline_depth - 1)
+        drain(0)
 
         results: list = [None] * len(requests)
         for req_i, (_, cand_ids) in enumerate(requests):
