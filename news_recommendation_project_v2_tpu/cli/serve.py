@@ -67,11 +67,13 @@ def build_ranker(
 
     import jax
 
-    from ..models import build_tower
+    from ..models import build_tower, check_tower_input_dim
     from ..train.checkpoint import load_pytree
 
-    tower = build_tower(tower_config or TowerConfig(kind="latent"))
-    dim = emb.shape[1]
+    cfg = tower_config or TowerConfig(kind="latent")
+    dim = int(emb.shape[1])
+    check_tower_input_dim(cfg, dim)
+    tower = build_tower(cfg)
     like = jax.jit(
         lambda: tower.init(
             jax.random.key(0), jnp.zeros((1, 8, dim)), jnp.ones((1, 8))

@@ -86,6 +86,24 @@ def build_tower(config: TowerConfig) -> nn.Module:
     raise ValueError(f"Unknown tower kind: {config.kind!r}")
 
 
+def check_tower_input_dim(
+    config: TowerConfig, dim: int, flag_hint: str = "--dim"
+) -> None:
+    """Loud boundary shared by training, eval, and serving: the latent and
+    transformer towers are residual in their input, so the news-embedding
+    width MUST equal ``reduced_dim`` — a mismatch otherwise surfaces as an
+    opaque broadcast error deep in flax init. (``final_attention``'s first
+    Dense adapts to any input width, so it is exempt.)"""
+    if config.kind in ("latent", "transformer") and dim != config.reduced_dim:
+        raise ValueError(
+            f"news embeddings are {dim}-dim but the {config.kind} tower is "
+            f"configured with reduced_dim={config.reduced_dim}; these must "
+            f"match. Pass {flag_hint} {dim} on the CLI (or "
+            f"TowerConfig(reduced_dim={dim})) so training, eval, and serving "
+            "all restore the same geometry."
+        )
+
+
 def supports_flat_scoring(config: TowerConfig) -> bool:
     """True when the tower is token-local up to its final pool, i.e. every
     history token's hidden state depends only on that token (the latent tower:

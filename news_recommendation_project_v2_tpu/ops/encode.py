@@ -505,18 +505,17 @@ def materialize_from_token_store(
                 dim=int(store.states.shape[1]), token_len=max_token_len
             ),
         )
+    from ..utils.inflight import InflightWindow
+
     out = []
-    pending: list[tuple] = []  # (device array, live row count), FIFO
     # Device-store chunks upload only [B, T] index grids (KBs) — a deep
     # window is free. Host-streaming chunks pin their [B, T, D] f32 input
     # block until the program runs, and the analytic batch estimator sizes B
     # assuming ONE resident block — keep at most one extra in flight there.
-    pipeline_depth = 4 if dev_states is not None else 1
-
-    def drain(limit: int) -> None:
-        while len(pending) > limit:
-            vecs, keep = pending.pop(0)
-            out.append(np.asarray(vecs)[:keep])
+    window = InflightWindow(
+        4 if dev_states is not None else 1,
+        lambda item: out.append(np.asarray(item[0])[: item[1]]),
+    )
 
     apply = jax.jit(lambda p, s, m: token_encoder_apply(p, s, m))
     apply_gathered = jax.jit(
@@ -534,7 +533,7 @@ def materialize_from_token_store(
             tok_idx, mask = store.padded_index_batch(
                 idx, T, out_rows=batch_size, max_len=max_token_len
             )
-            pending.append(
+            window.push(
                 (
                     apply_gathered(
                         params, dev_states, jnp.asarray(tok_idx), jnp.asarray(mask)
@@ -542,7 +541,6 @@ def materialize_from_token_store(
                     len(idx),
                 )
             )
-            drain(pipeline_depth)
             continue
         states, mask = store.gather_padded(idx, max_len=max_token_len)
         T = bucket_for_open(states.shape[1], token_buckets)
@@ -559,11 +557,10 @@ def materialize_from_token_store(
             ((0, batch_size - len(idx)), (0, max(0, T - mask.shape[1]))),
         )
         mask[len(idx):, 0] = 1.0  # keep pad rows non-degenerate
-        pending.append(
+        window.push(
             (apply(params, jnp.asarray(states), jnp.asarray(mask)), len(idx))
         )
-        drain(pipeline_depth)
-    drain(0)
+    window.flush()
     return np.concatenate(out)
 
 
@@ -609,43 +606,43 @@ def build_token_store(
     hidden_dim: Optional[int] = None
     states = None  # allocated lazily once D is known from the first batch
     arrays: list[Optional[np.ndarray]] = [None] * n
-    # Pipelined dispatch (see materialize_from_token_store): up to two [B,T,D]
-    # hidden blocks stay in flight so the encoder computes the next chunk
-    # while this one's fetch/trim/memmap-write runs — bounded at 2 because
-    # each pending block holds ~B*T*D*4 bytes of HBM.
-    pending: list[tuple[np.ndarray, Any]] = []  # (rows, device hidden)
+    # Pipelined dispatch (utils/inflight.py): up to two [B,T,D] hidden blocks
+    # stay in flight so the encoder computes the next chunk while this one's
+    # fetch/trim/memmap-write runs — bounded at depth 1 (the appended block
+    # plus one pending) because each block holds ~B*T*D*4 bytes of HBM.
+    from ..utils.inflight import InflightWindow
 
-    def drain(limit: int) -> None:
+    def consume(item) -> None:
         nonlocal states, hidden_dim, out_dir
-        while len(pending) > limit:
-            rows_d, dev = pending.pop(0)
-            hidden = np.asarray(dev)
-            if out_dir is not None and states is None:
-                hidden_dim = hidden.shape[-1]
-                out_dir = Path(out_dir)
-                out_dir.mkdir(parents=True, exist_ok=True)
-                states = np.lib.format.open_memmap(
-                    out_dir / "states.npy",
-                    mode="w+",
-                    dtype=store_dtype,
-                    shape=(int(offsets[-1]), hidden_dim),
-                )
-            for j, row in enumerate(rows_d):
-                ln = int(lens[row])
-                trimmed = hidden[j, :ln].astype(store_dtype)
-                if states is not None:
-                    a = int(offsets[row])
-                    states[a : a + ln] = trimmed
-                else:
-                    arrays[row] = trimmed
+        rows_d, dev = item
+        hidden = np.asarray(dev)
+        if out_dir is not None and states is None:
+            hidden_dim = hidden.shape[-1]
+            out_dir = Path(out_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            states = np.lib.format.open_memmap(
+                out_dir / "states.npy",
+                mode="w+",
+                dtype=store_dtype,
+                shape=(int(offsets[-1]), hidden_dim),
+            )
+        for j, row in enumerate(rows_d):
+            ln = int(lens[row])
+            trimmed = hidden[j, :ln].astype(store_dtype)
+            if states is not None:
+                a = int(offsets[row])
+                states[a : a + ln] = trimmed
+            else:
+                arrays[row] = trimmed
 
+    window = InflightWindow(1, consume)
     for start in range(0, n, batch_size):
         rows = row_order[start : start + batch_size]
         w = int(row_widths[rows].max())
         pad = batch_size - len(rows)
         ids_b = np.pad(np.ascontiguousarray(token_ids[rows, :w]), ((0, pad), (0, 0)))
         mask_b = np.pad(np.ascontiguousarray(token_mask[rows, :w]), ((0, pad), (0, 0)))
-        pending.append(
+        window.push(
             (
                 rows,
                 _hidden_batch(
@@ -654,8 +651,7 @@ def build_token_store(
                 ),
             )
         )
-        drain(1)
-    drain(0)
+    window.flush()
     if out_dir is not None:
         if states is None:  # empty corpus: write a valid, empty store
             out_dir = Path(out_dir)

@@ -275,21 +275,9 @@ class _TowerComponentBase(PipelineComponent):
         return f"{self.tower_config}|{self.cfg}|{self.exp_name}|{self.warm_start}"
 
     def _init_params(self, dim: int):
-        # Loud boundary: the latent/transformer towers are residual in their
-        # input, so the embedding dump's dim MUST equal reduced_dim — a
-        # mismatch otherwise surfaces as an opaque broadcast error deep in
-        # flax init. (final_attention's first Dense adapts to any input dim.)
-        if (
-            self.tower_config.kind in ("latent", "transformer")
-            and dim != self.tower_config.reduced_dim
-        ):
-            raise ValueError(
-                f"news embeddings are {dim}-dim but the {self.tower_config.kind} "
-                f"tower is configured with reduced_dim="
-                f"{self.tower_config.reduced_dim}; these must match. Pass "
-                f"--dim {dim} on the CLI (or TowerConfig(reduced_dim={dim})) "
-                "so training, eval, and serving all restore the same geometry."
-            )
+        from ..models import check_tower_input_dim
+
+        check_tower_input_dim(self.tower_config, dim)
         if self.params is None:
             self.params = jax.jit(
                 lambda: self.tower.init(

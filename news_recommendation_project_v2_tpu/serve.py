@@ -281,27 +281,25 @@ class Ranker:
         for item in prepared:
             by_shape.setdefault((item[4], item[5]), []).append(item)
 
-        # Pipelined dispatch (the bounded in-flight window that lifted
-        # token-store materialization 653 -> 4,740-7,870 news/s, ops/encode.py
-        # materialize_from_token_store): dispatch every shape-group's device
-        # call asynchronously and fetch results as the window slides, instead
-        # of one synchronous dispatch+fetch round trip PER group — on tunneled
-        # hosts the per-call RTT, not the compute, dominates a multi-group
-        # batch. Inputs per call are KB-scale int grids, so a deep window
-        # pins no meaningful memory.
-        pending: list[tuple] = []  # (device scores, chunk), FIFO
-        pipeline_depth = 4
+        # Pipelined dispatch (utils/inflight.py — the bounded window that
+        # lifted token-store materialization 653 -> 4,740-7,870 news/s):
+        # dispatch every shape-group's device call asynchronously and fetch
+        # results as the window slides, instead of one synchronous
+        # dispatch+fetch round trip PER group — on tunneled hosts the per-call
+        # RTT, not the compute, dominates a multi-group batch. Inputs per call
+        # are KB-scale int grids, so a deep window pins no meaningful memory.
+        from .utils.inflight import InflightWindow
 
-        def drain(limit: int) -> None:
-            while len(pending) > limit:
-                dev, chunk = pending.pop(0)
-                scores = np.asarray(dev)
-                for j, (req_i, start, _, known, _, _) in enumerate(chunk):
-                    s = np.where(
-                        np.asarray(known) >= 0, scores[j, : len(known)], -np.inf
-                    )
-                    merged[req_i][start] = s
+        def consume(item) -> None:
+            dev, chunk = item
+            scores = np.asarray(dev)
+            for j, (req_i, start, _, known, _, _) in enumerate(chunk):
+                s = np.where(
+                    np.asarray(known) >= 0, scores[j, : len(known)], -np.inf
+                )
+                merged[req_i][start] = s
 
+        window = InflightWindow(4, consume)
         for (L, C), group in by_shape.items():
             # The group's batch axis runs at power-of-two sizes capped at the
             # memory-model cap (larger groups chunk): without padding, every
@@ -322,7 +320,7 @@ class Ranker:
                     hist_idx[j, : len(hist)] = hist
                     hist_mask[j, : len(hist)] = 1.0
                     cand_idx[j, : len(known)] = np.maximum(known, 0)
-                pending.append(
+                window.push(
                     (
                         _rank_many(
                             self.tower_apply,
@@ -336,8 +334,7 @@ class Ranker:
                         chunk,
                     )
                 )
-                drain(pipeline_depth - 1)
-        drain(0)
+        window.flush()
 
         results: list = [None] * len(requests)
         for req_i, (_, cand_ids) in enumerate(requests):

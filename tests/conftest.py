@@ -13,8 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # Hermetic tests: the CLI entry points enable the persistent compile cache by
 # default (utils/compile_cache.py); don't let test invocations write to the
-# user's real cache. Individual tests monkeypatch this to cover the feature.
-os.environ.setdefault("NRTPU_COMPILE_CACHE", "0")
+# user's real cache — even when the developer has NRTPU_COMPILE_CACHE exported
+# (so no setdefault). Individual tests monkeypatch this to cover the feature.
+os.environ["NRTPU_COMPILE_CACHE"] = "0"
 
 import jax
 

@@ -175,3 +175,15 @@ def test_stdio_jsonl_loop(emb_dir):
     assert len(lines) == 2
     assert lines[0]["ranked"][0][0] == "N0"
     assert "unknown op" in lines[1]["error"]
+
+
+def test_build_ranker_rejects_mismatched_tower_dim(emb_dir, tmp_path):
+    """A latent checkpoint whose reduced_dim disagrees with the embedding
+    dump's width must hit the shared loud boundary (models.
+    check_tower_input_dim), not an opaque flax broadcast error."""
+    path, _, _ = emb_dir
+    cfg = TowerConfig(
+        kind="latent", reduced_dim=2 * D, num_latents=4, latent_dim_head=8
+    )
+    with pytest.raises(ValueError, match="reduced_dim"):
+        build_ranker(path, "dev", ckpt=tmp_path / "nonexistent", tower_config=cfg)
