@@ -71,8 +71,11 @@ def build_workload(rng):
 def bench_ours(hist_lens, imp_lens, hist_rev, cand_rev, cand_row, labels):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
 
     from news_recommendation_project_v2_tpu.config import TowerConfig
@@ -478,6 +481,13 @@ def main():
             }
         )
     )
+    # Quality gate: the trained-fixture metric pass must LEARN (val AUC well
+    # above chance — historically ~0.63 on this fixture), so a silent learning
+    # regression fails the driver bench instead of shipping a green artifact.
+    # Printed first so the JSON line survives for forensics either way.
+    auc = extras.get("trained_fixture_val_auc")
+    assert auc is not None, "trained-fixture metric pass did not run"
+    assert auc > 0.58, f"learning regression: trained-fixture val AUC {auc}"
 
 
 if __name__ == "__main__":

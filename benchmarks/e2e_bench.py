@@ -50,8 +50,11 @@ def build_store(rng) -> TokenStore:
 
 def main(steps: int = 8):
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     rng = np.random.default_rng(0)
     store = build_store(rng)
     total_tokens = int(store.offsets[-1])

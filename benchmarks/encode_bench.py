@@ -59,8 +59,11 @@ def mind_like_lengths(rng, n):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     log(f"backend: {jax.default_backend()}, n={n}")
 
     enc = NewsEncoder(E5_LARGE)

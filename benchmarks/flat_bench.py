@@ -13,8 +13,11 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from news_recommendation_project_v2_tpu.utils.compile_cache import (
+    enable_persistent_compile_cache,
+)
+
+enable_persistent_compile_cache()
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")

@@ -31,8 +31,11 @@ def log(msg):
 
 def main():
     n_req = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     log(f"backend: {jax.default_backend()}, requests={n_req}")
 
     tower = build_tower(TowerConfig(kind="latent"))

@@ -30,8 +30,11 @@ B, L = 512, 64  # pairs per step, history bucket
 def main():
     compute = sys.argv[1] if len(sys.argv) > 1 else "float32"
     print(f"backend: {jax.default_backend()}, compute={compute}", file=sys.stderr)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     tower = build_tower(TowerConfig(kind="latent", compute_dtype=compute))
     cfg = TrainConfig()
     params = jax.jit(
@@ -78,8 +81,11 @@ def main_flat(batches=(512, 1024, 2048)):
     """Flat-token step (zero-padding trick applied to training) at MIND-like
     geometric history lengths, swept over pair-batch sizes."""
     print(f"backend: {jax.default_backend()}, mode=flat", file=sys.stderr)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     from news_recommendation_project_v2_tpu.train.step import (
         make_tower_train_step_flat,
     )
@@ -156,8 +162,11 @@ def main_epoch(num_rows=60_000, batch_size=2048, loss_sync_every=64,
         f"news={num_news}",
         file=sys.stderr,
     )
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     from news_recommendation_project_v2_tpu.data.compiler import CompiledBehaviors
     from news_recommendation_project_v2_tpu.train.trainer import TowerTrainer
 

@@ -117,8 +117,11 @@ def flat_inputs(B, rng):
 
 
 def profile_flat(B=2048):
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     log(f"backend: {jax.default_backend()}, flat step, B={B}")
     rtt_med, rtt_best = rtt_floor()
     log(f"dispatch floor (scalar round trip): {rtt_med * 1e3:.1f} ms median, "
@@ -308,8 +311,11 @@ def profile_e2e(M=2048, T=64, B=1024):
     ``make_end2end_train_step_gathered``) at e2e_bench's exact geometry
     (FinalAttention tower + 1-layer TokenAttentionPool; 373 ms/step measured
     round 3)."""
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     from news_recommendation_project_v2_tpu.models import (
         FinalAttention,
         TokenAttentionPool,
@@ -447,8 +453,11 @@ def profile_mat(num_news=8192, T=64):
     """Decompose ``materialize_from_token_store`` (653 news/s warm in
     e2e_bench at batch 256): per-chunk synchronous dispatch vs the dispatch
     floor, swept over batch sizes, device-store and host paths."""
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_nrtpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     from news_recommendation_project_v2_tpu.models import TokenAttentionPool
     from news_recommendation_project_v2_tpu.ops.encode import (
         materialize_from_token_store,

@@ -92,9 +92,12 @@ def check_tower_input_dim(
     """Loud boundary shared by training, eval, and serving: the latent and
     transformer towers are residual in their input, so the news-embedding
     width MUST equal ``reduced_dim`` — a mismatch otherwise surfaces as an
-    opaque broadcast error deep in flax init. (``final_attention``'s first
-    Dense adapts to any input width, so it is exempt.)"""
-    if config.kind in ("latent", "transformer") and dim != config.reduced_dim:
+    opaque broadcast error deep in flax init. ``final_attention``'s first
+    Dense adapts to any INPUT width, but its user vector comes out
+    ``reduced_dim``-wide and is cosine-scored against the D-wide news
+    embeddings downstream, so the same equality must hold there too (the
+    failure is just deferred to an opaque scoring-shape error otherwise)."""
+    if dim != config.reduced_dim:
         raise ValueError(
             f"news embeddings are {dim}-dim but the {config.kind} tower is "
             f"configured with reduced_dim={config.reduced_dim}; these must "

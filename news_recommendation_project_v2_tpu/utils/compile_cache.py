@@ -30,16 +30,19 @@ def enable_persistent_compile_cache(
     Resolution order: explicit ``cache_dir`` argument, then the
     ``NRTPU_COMPILE_CACHE`` environment variable, then ``~/.cache/nrtpu/
     jax_cache``. Setting ``NRTPU_COMPILE_CACHE=0`` (or empty) disables the
-    cache entirely. Returns the directory in use, or None when disabled.
+    cache entirely — INCLUDING when a ``cache_dir`` argument is passed, so
+    the user/test kill switch (tests/conftest.py pins it off for hermeticity)
+    always wins over library/CLI defaults. Returns the directory in use, or
+    None when disabled.
 
     Safe to call more than once and before or after device initialization;
     only compilations AFTER the call are cached. Programs cheaper than 1s to
     compile are not persisted (they would bloat the cache for no win).
     """
     env = os.environ.get("NRTPU_COMPILE_CACHE")
+    if env is not None and env.strip() in ("", "0"):
+        return None  # the env kill switch beats any explicit cache_dir
     if cache_dir is None:
-        if env is not None and env.strip() in ("", "0"):
-            return None
         cache_dir = env or _DEFAULT_DIR
     path = Path(cache_dir).expanduser()
     try:

@@ -271,7 +271,15 @@ def test_tower_component_rejects_embedding_dim_mismatch():
         comp._init_params(64)
     comp._init_params(32)  # matching dim initializes fine
     assert comp.params is not None
-    # final_attention adapts its first Dense to any input width: no error.
+    # final_attention adapts its first Dense to any INPUT width, but its user
+    # vector comes out reduced_dim-wide and is cosine-scored against the
+    # D-wide news embeddings — a mismatch must fail at this boundary too
+    # (ADVICE r4), not as an opaque scoring-shape error downstream.
     fa = AttentionComponent(tower_config=TowerConfig(kind="final_attention"))
-    fa._init_params(48)
-    assert fa.params is not None
+    with pytest.raises(ValueError, match="reduced_dim"):
+        fa._init_params(48)
+    fa_ok = AttentionComponent(
+        tower_config=TowerConfig(kind="final_attention", reduced_dim=48)
+    )
+    fa_ok._init_params(48)
+    assert fa_ok.params is not None
