@@ -160,5 +160,93 @@ def main(steps: int = 8):
         )
 
 
+def main_quality(epochs: int = 4):
+    """Margin vs InfoNCE for the e2e family (VERDICT r4 #6) on the learnable
+    synthetic fixture: same split, same seeds, same token store — only the
+    objective differs. Prints per-epoch losses and the best val AUC of each.
+
+        python benchmarks/e2e_bench.py quality [epochs]
+    """
+    from news_recommendation_project_v2_tpu.config import TowerConfig
+    from news_recommendation_project_v2_tpu.data.compiler import compile_behaviors
+    from news_recommendation_project_v2_tpu.data.synthetic import (
+        align_embeddings,
+        synthetic_learnable_behaviors,
+    )
+    from news_recommendation_project_v2_tpu.models import build_tower
+    from news_recommendation_project_v2_tpu.train.trainer import EndToEndTrainer
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
+    d = 64
+    imps, hist, emb = synthetic_learnable_behaviors(
+        num_news=200, num_rows=800, dim=d, noise=0.05, seed=7
+    )
+    ct = compile_behaviors(imps[:600], hist[:600]).with_history_view()
+    cv = compile_behaviors(imps[600:], hist[600:]).with_history_view()
+    rng = np.random.default_rng(3)
+    emb_np = align_embeddings(ct.news_ids, emb)
+    store_t = TokenStore.from_ragged(
+        [
+            emb_np[i][None, :]
+            + rng.standard_normal((int(rng.integers(2, 7)), d)).astype(np.float32)
+            * 0.05
+            for i in range(ct.num_news)
+        ]
+    )
+    emb_v = align_embeddings(cv.news_ids, emb)
+    store_v = TokenStore.from_ragged(
+        [
+            emb_v[i][None, :]
+            + rng.standard_normal((int(rng.integers(2, 7)), d)).astype(np.float32)
+            * 0.05
+            for i in range(cv.num_news)
+        ]
+    )
+
+    results = {}
+    for loss in ("margin", "infonce"):
+        tower = build_tower(
+            TowerConfig(kind="latent", reduced_dim=d, num_latents=8,
+                        latent_dim_head=16)
+        )
+        t_params = jax.jit(
+            lambda: tower.init(
+                jax.random.key(0), jnp.zeros((1, 8, d)), jnp.ones((1, 8))
+            )
+        )()
+        tok_model = TokenAttentionPool(hidden_size=d, num_layers=1)
+        tok_params = jax.jit(
+            lambda: tok_model.init(
+                jax.random.key(3), jnp.zeros((1, 8, d)), jnp.ones((1, 8))
+            )
+        )()
+        trainer = EndToEndTrainer(
+            tok_model.apply, tok_params, tower.apply, t_params, ct, store_t,
+            cfg=TrainConfig(
+                loss=loss, num_neg_per_pos=5, learning_rate=3e-4,
+                num_epochs=epochs, batch_size=128, seed=0,
+            ),
+            max_token_len=8,
+            compiled_val=cv,
+            val_token_store=store_v,
+            eval_each_epoch=True,
+            flat_eval=True,
+        )
+        histy = trainer.train()
+        best = max(h["val"]["auc"] for h in histy)
+        results[loss] = best
+        print(
+            f"e2e[{loss}]: losses "
+            f"{[round(h['loss'], 4) for h in histy]} best val AUC {best:.3f}"
+        )
+    print(f"quality verdict: {results}")
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    if len(sys.argv) > 1 and sys.argv[1] == "quality":
+        main_quality(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -243,12 +243,21 @@ def main_epoch_large():
 
     num_news = 104_151
     for label, tokens_per_news in (("title-only (T~24)", 24), ("full-text (T=512)", 512)):
-        fits = fits_device_token_store(
-            total_tokens=num_news * tokens_per_news, dim=DIM
+        total = num_news * tokens_per_news
+        fits = fits_device_token_store(total_tokens=total, dim=DIM)
+        fits8 = fits_device_token_store(total_tokens=total, dim=DIM, num_shards=8)
+        verdict = (
+            "fits ONE chip (replicated device path)"
+            if fits
+            else (
+                "exceeds one chip but fits SHARDED over 8 devices "
+                "(row-sharded device path, shard_token_store_states)"
+                if fits8
+                else "exceeds even 8-device aggregate HBM (streaming path)"
+            )
         )
         print(
-            f"memory model at MIND-large, {label}: device token store "
-            f"{'fits HBM (device path)' if fits else 'exceeds HBM (streaming path)'}",
+            f"memory model at MIND-large, {label}: device token store {verdict}",
             file=sys.stderr,
         )
     main_epoch(num_rows=200_000, num_news=num_news)

@@ -449,6 +449,188 @@ def profile_e2e(M=2048, T=64, B=1024):
     return results
 
 
+def profile_e2e_sweep(M=2048, T=64):
+    """Attention-layout sweep for the e2e token encoder AT ITS OWN GEOMETRY
+    (VERDICT r4 #5): the corpus-encode sweep that earned that path's
+    under-fill retirement (BASELINE.md round-2 table) ran at [4096, 32] x 24
+    layers FWD-only; the e2e step runs a 1-layer TokenAttentionPool at
+    [M=2048, T=64, D=1024] FWD+BWD. Variants share identical weights; each
+    times value+grad of a scalar readout of the full layer (attention +
+    GatedMLP + norms + last-token pool), so only the attention layout
+    differs.
+
+        python benchmarks/train_profile.py e2e-sweep [M] [T]
+    """
+    from news_recommendation_project_v2_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
+    d, heads = DIM, 8
+    hd = d // heads
+    inter = 3072
+    log(f"backend: {jax.default_backend()}, e2e token-encoder sweep, "
+        f"[M={M}, T={T}, D={d}] fwd+bwd, heads={heads}")
+    rtt_med, rtt_best = rtt_floor()
+    log(f"dispatch floor: {rtt_med * 1e3:.1f} ms median, {rtt_best * 1e3:.1f} ms best")
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((M, T, d)).astype(np.float32) * 0.3)
+    lens = np.clip(rng.geometric(1 / 24.0, size=M), 2, T)
+    mask_np = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    mask = jnp.asarray(mask_np)
+
+    p = {
+        "qkv": jnp.asarray(rng.standard_normal((d, 3 * d)).astype(np.float32) / d**0.5),
+        "qkv_b": jnp.zeros((3 * d,), jnp.float32),
+        "o": jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) / d**0.5),
+        "o_b": jnp.zeros((d,), jnp.float32),
+        "m1": jnp.asarray(
+            rng.standard_normal((d, 2 * inter)).astype(np.float32) / d**0.5
+        ),
+        "m1_b": jnp.zeros((2 * inter,), jnp.float32),
+        "m2": jnp.asarray(
+            rng.standard_normal((inter, d)).astype(np.float32) / inter**0.5
+        ),
+        "m2_b": jnp.zeros((d,), jnp.float32),
+    }
+
+    def ln(h):
+        mu = h.mean(-1, keepdims=True)
+        var = ((h - mu) ** 2).mean(-1, keepdims=True)
+        return (h - mu) * jax.lax.rsqrt(var + 1e-12)
+
+    def rest_of_layer(attn_out, h, m):
+        a = ln(attn_out + h)
+        g = a @ p["m1"] + p["m1_b"]
+        g1, g2 = jnp.split(g, 2, axis=-1)
+        mlp = (jax.nn.gelu(g1) * g2) @ p["m2"] + p["m2_b"]
+        out = ln(mlp + a)
+        # last-token pool (TokenAttentionPool epilogue)
+        idx = jnp.maximum(m.sum(-1).astype(jnp.int32) - 1, 0)
+        pooled = out[jnp.arange(out.shape[0]), idx]
+        return (pooled * pooled).sum()
+
+    bias = (1.0 - mask[:, None, None, :]) * jnp.finfo(jnp.float32).min
+
+    def attn_baseline(pp, h, m):
+        b, l, _ = h.shape
+        qkv = h @ pp["qkv"] + pp["qkv_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd**-0.5
+        probs = jax.nn.softmax(logits.astype(jnp.float32) + bias, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
+        return ctx @ pp["o"] + pp["o_b"]
+
+    def attn_no_transpose(pp, h, m):
+        b, l, _ = h.shape
+        qkv = h @ pp["qkv"] + pp["qkv_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, l, heads, hd)
+        k = k.reshape(b, l, heads, hd)
+        v = v.reshape(b, l, heads, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * hd**-0.5
+        probs = jax.nn.softmax(logits.astype(jnp.float32) + bias, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+        return ctx.reshape(b, l, d) @ pp["o"] + pp["o_b"]
+
+    def attn_lowp_probs(pp, h, m):
+        b, l, _ = h.shape
+        qkv = h @ pp["qkv"] + pp["qkv_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd**-0.5
+        probs = jax.nn.softmax(logits + bias.astype(logits.dtype), axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
+        return ctx @ pp["o"] + pp["o_b"]
+
+    def attn_sdpa(pp, h, m):
+        b, l, _ = h.shape
+        qkv = h @ pp["qkv"] + pp["qkv_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, l, heads, hd)
+        k = k.reshape(b, l, heads, hd)
+        v = v.reshape(b, l, heads, hd)
+        ctx = jax.nn.dot_product_attention(
+            q, k, v, mask=m[:, None, None, :] > 0
+        )
+        return ctx.reshape(b, l, d) @ pp["o"] + pp["o_b"]
+
+    variants = {
+        "baseline": attn_baseline,
+        "no-transpose": attn_no_transpose,
+        "lowp-probs": attn_lowp_probs,
+        "sdpa": attn_sdpa,
+    }
+
+    # Block-packing: g news rows share one attention of length g*T with a
+    # block-diagonal mask (fills the 128-wide MXU tile at g=2) — measured
+    # bit-identical for corpus encode; here timed fwd+bwd.
+    def make_packed(g):
+        Mp = M // g
+        block = np.kron(np.eye(g, dtype=np.float32), np.ones((T, T), np.float32))
+        pmask_np = mask_np.reshape(Mp, g * T)
+        pb = (
+            (1.0 - pmask_np[:, None, None, :] * block[None, None])
+        ) * np.finfo(np.float32).min
+        pbias = jnp.asarray(pb)
+
+        def attn_packed(pp, h, m):
+            hp = h.reshape(Mp, g * T, d)
+            b, l, _ = hp.shape
+            qkv = hp @ pp["qkv"] + pp["qkv_b"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd**-0.5
+            probs = jax.nn.softmax(logits.astype(jnp.float32) + pbias, axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
+            out = ctx @ pp["o"] + pp["o_b"]
+            return out.reshape(M, T, d)
+
+        return attn_packed
+
+    for g in (2, 4):
+        if M % g == 0:
+            variants[f"packed-g{g}"] = make_packed(g)
+
+    # Matmul-only floor: attention einsums+softmax replaced by the o-proj of
+    # v alone (keeps every dense matmul, drops the attention math).
+    def attn_removed(pp, h, m):
+        qkv = h @ pp["qkv"] + pp["qkv_b"]
+        _, _, v = jnp.split(qkv, 3, axis=-1)
+        return v @ pp["o"] + pp["o_b"]
+
+    variants["attn-removed"] = attn_removed
+
+    results = {}
+    for name, attn in variants.items():
+        def loss_fn(pp, attn=attn):
+            return rest_of_layer(attn(pp, x, mask), x, mask)
+
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        med, best = timed(
+            lambda: vg(p), lambda r: float(r[0]), steps=10
+        )
+        results[name] = best
+        log(f"{name:14s} fwd+bwd {med * 1e3:8.1f} ms med  {best * 1e3:8.1f} ms best")
+
+    base = results["baseline"]
+    log("")
+    for name, best in results.items():
+        log(f"{name:14s} {base / best:5.2f}x vs baseline")
+    return results
+
+
 def profile_mat(num_news=8192, T=64):
     """Decompose ``materialize_from_token_store`` (653 news/s warm in
     e2e_bench at batch 256): per-chunk synchronous dispatch vs the dispatch
@@ -506,5 +688,7 @@ if __name__ == "__main__":
         profile_e2e(*(int(x) for x in sys.argv[2:]))
     elif mode == "mat":
         profile_mat(*(int(x) for x in sys.argv[2:]))
+    elif mode == "e2e-sweep":
+        profile_e2e_sweep(*(int(x) for x in sys.argv[2:]))
     else:
         raise SystemExit(f"unknown mode {mode}")

@@ -178,6 +178,19 @@ class EncoderConfig:
     head_dim: Optional[int] = None  # None -> hidden_dim // num_heads
     rope_theta: float = 10000.0
     qkv_bias: bool = True  # Qwen2 biases q/k/v; HF config field attention_bias
+    # NV-Embed-class wrapper pieces (reference ``get_nvembed_model``,
+    # ``modeling_utils.py:371-399``, loaded there via trust_remote_code; here
+    # the checkpoint's TENSORS map natively — no checkpoint-shipped Python
+    # runs). ``bidirectional`` drops the causal half of the decoder attention
+    # mask (NV-Embed's bidirectional-attention patch over its Mistral
+    # backbone); ``latent_pool`` replaces the POOLING epilogue with the
+    # latent-attention pooling head (the same module as the user tower,
+    # ``models/latent_attention.py``) in the published geometry.
+    bidirectional: bool = False
+    latent_pool: bool = False
+    latent_pool_num_latents: int = 512
+    latent_pool_heads: int = 8
+    latent_pool_dim_head: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

@@ -177,7 +177,80 @@ class NewsEncoder(nn.Module):
 
     config: EncoderConfig = EncoderConfig()
 
-    @nn.compact
+    def setup(self):
+        # setup() style (not @nn.compact): both ``hidden_states`` and
+        # ``__call__`` are public entry points that create/use params, and
+        # flax allows only one compact method per module — the latent_pool
+        # head made the split unavoidable.
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.arch == "qwen2":
+            self.word_embeddings = nn.Embed(
+                cfg.vocab_size, cfg.hidden_dim, dtype=dtype,
+                name="word_embeddings",
+            )
+            hd = cfg.head_dim or cfg.hidden_dim // cfg.num_heads
+            kv = cfg.num_kv_heads or cfg.num_heads
+            self.layers = [
+                DecoderLayer(
+                    cfg.hidden_dim,
+                    cfg.num_heads,
+                    kv,
+                    hd,
+                    cfg.intermediate_dim,
+                    rms_norm_eps=cfg.layer_norm_eps,
+                    qkv_bias=cfg.qkv_bias,
+                    dtype=dtype,
+                    name=f"layer_{i}",
+                )
+                for i in range(cfg.num_layers)
+            ]
+            self.final_norm = nn.RMSNorm(
+                epsilon=cfg.layer_norm_eps, dtype=dtype, name="final_norm"
+            )
+        else:
+            assert cfg.arch == "bert", f"unknown encoder arch {cfg.arch!r}"
+            self.word_embeddings = nn.Embed(
+                cfg.vocab_size, cfg.hidden_dim, dtype=dtype,
+                name="word_embeddings",
+            )
+            self.position_embeddings = nn.Embed(
+                cfg.max_position, cfg.hidden_dim, dtype=dtype,
+                name="position_embeddings",
+            )
+            self.token_type_embeddings = nn.Embed(
+                1, cfg.hidden_dim, dtype=dtype, name="token_type_embeddings"
+            )
+            self.embeddings_norm = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=dtype, name="embeddings_norm"
+            )
+            self.layers = [
+                EncoderLayer(
+                    cfg.hidden_dim,
+                    cfg.num_heads,
+                    cfg.intermediate_dim,
+                    layer_norm_eps=cfg.layer_norm_eps,
+                    dtype=dtype,
+                    name=f"layer_{i}",
+                )
+                for i in range(cfg.num_layers)
+            ]
+        if cfg.latent_pool:
+            # NV-Embed-class latent-attention pooling head — the SAME module
+            # as the flagship user tower (the reference copied NV-Embed's
+            # design for it, ``latent_attention.py:77-171``): tokens query
+            # the learned latents, GEGLU FF, masked mean over tokens.
+            from .latent_attention import LatentAttentionTower
+
+            self.latent_pool = LatentAttentionTower(
+                dim=cfg.hidden_dim,
+                num_latents=cfg.latent_pool_num_latents,
+                heads=cfg.latent_pool_heads,
+                dim_head=cfg.latent_pool_dim_head,
+                output_normalize=False,
+                name="latent_pool",
+            )
+
     def hidden_states(
         self,
         token_ids: jnp.ndarray,  # [B, T] int32
@@ -187,73 +260,50 @@ class NewsEncoder(nn.Module):
         reference ``store_text_embed_full_eval`` reads ``last_hidden_state``,
         ``modeling_utils.py:463``)."""
         cfg = self.config
-        dtype = jnp.dtype(cfg.compute_dtype)
         if cfg.arch == "qwen2":
-            return self._decoder_hidden_states(token_ids, mask, dtype)
-        assert cfg.arch == "bert", f"unknown encoder arch {cfg.arch!r}"
-        word = nn.Embed(
-            cfg.vocab_size, cfg.hidden_dim, dtype=dtype, name="word_embeddings"
-        )(token_ids)
+            return self._decoder_hidden_states(token_ids, mask)
+        word = self.word_embeddings(token_ids)
         # RoBERTa position ids: pad_token positions are skipped; positions start
         # at padding_idx+1 = 2 for real tokens (HF create_position_ids...).
         positions = (
             jnp.cumsum(mask.astype(jnp.int32), axis=1) * mask.astype(jnp.int32) + 1
         )
-        pos = nn.Embed(
-            cfg.max_position, cfg.hidden_dim, dtype=dtype, name="position_embeddings"
-        )(positions)
-        tok_type = nn.Embed(
-            1, cfg.hidden_dim, dtype=dtype, name="token_type_embeddings"
-        )(jnp.zeros_like(token_ids))
-        hidden = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=dtype, name="embeddings_norm"
-        )(word + pos + tok_type)
-        for i in range(cfg.num_layers):
-            hidden = EncoderLayer(
-                cfg.hidden_dim,
-                cfg.num_heads,
-                cfg.intermediate_dim,
-                layer_norm_eps=cfg.layer_norm_eps,
-                dtype=dtype,
-                name=f"layer_{i}",
-            )(hidden, mask)
+        pos = self.position_embeddings(positions)
+        tok_type = self.token_type_embeddings(jnp.zeros_like(token_ids))
+        hidden = self.embeddings_norm(word + pos + tok_type)
+        for layer in self.layers:
+            hidden = layer(hidden, mask)
         return hidden.astype(jnp.float32)
 
-    def _decoder_hidden_states(self, token_ids, mask, dtype) -> jnp.ndarray:
+    def _decoder_hidden_states(self, token_ids, mask) -> jnp.ndarray:
         """Qwen2-class forward: token embeddings (no learned positions —
         rotary inside attention), causal+padding mask, final RMSNorm.
         Position ids are ``arange(T)`` (transformers' default forward path;
         right-padding keeps real tokens at the front)."""
         cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
         hd = cfg.head_dim or cfg.hidden_dim // cfg.num_heads
-        kv = cfg.num_kv_heads or cfg.num_heads
-        hidden = nn.Embed(
-            cfg.vocab_size, cfg.hidden_dim, dtype=dtype, name="word_embeddings"
-        )(token_ids)
+        hidden = self.word_embeddings(token_ids)
         t = token_ids.shape[1]
         cos, sin = _rope_cos_sin(jnp.arange(t), hd, cfg.rope_theta, dtype)
-        causal = jnp.tril(jnp.ones((t, t), bool))
-        keep = causal[None, None] & (mask[:, None, None, :] > 0)
+        if cfg.bidirectional:
+            # NV-Embed-class bidirectional attention: the remote-code wrapper
+            # patches the causal mask out of its Mistral backbone (reference
+            # loads it via trust_remote_code, ``modeling_utils.py:371-379``);
+            # natively that is just padding-only masking.
+            keep = jnp.broadcast_to(mask[:, None, None, :] > 0,
+                                    (mask.shape[0], 1, t, t))
+        else:
+            causal = jnp.tril(jnp.ones((t, t), bool))
+            keep = causal[None, None] & (mask[:, None, None, :] > 0)
         # Finite min of the COMPUTE dtype (like the bert path): f32's min
         # rounds to -inf in bfloat16, and an all-pad row (batch padding) would
         # then softmax to NaN instead of the harmless uniform distribution —
         # padded rows must stay NaN-inert (CLAUDE.md invariant).
         attn_bias = jnp.where(keep, 0.0, float(jnp.finfo(dtype).min))
-        for i in range(cfg.num_layers):
-            hidden = DecoderLayer(
-                cfg.hidden_dim,
-                cfg.num_heads,
-                kv,
-                hd,
-                cfg.intermediate_dim,
-                rms_norm_eps=cfg.layer_norm_eps,
-                qkv_bias=cfg.qkv_bias,
-                dtype=dtype,
-                name=f"layer_{i}",
-            )(hidden, cos, sin, attn_bias)
-        hidden = nn.RMSNorm(
-            epsilon=cfg.layer_norm_eps, dtype=dtype, name="final_norm"
-        )(hidden)
+        for layer in self.layers:
+            hidden = layer(hidden, cos, sin, attn_bias)
+        hidden = self.final_norm(hidden)
         return hidden.astype(jnp.float32)
 
     def __call__(
@@ -263,7 +313,13 @@ class NewsEncoder(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.config
         hidden = self.hidden_states(token_ids, mask)
-        pooled = POOLING[cfg.pooling](hidden, mask)
+        if cfg.latent_pool:
+            # The head normalizes via the shared epilogue below (the
+            # published wrapper normalizes twice — module + ``get_nv_embeds``'s
+            # F.normalize, ``modeling_utils.py:399`` — which is idempotent).
+            pooled = self.latent_pool(hidden, mask.astype(jnp.float32))
+        else:
+            pooled = POOLING[cfg.pooling](hidden, mask)
         if cfg.normalize:
             pooled = pooled / jnp.sqrt(
                 (pooled * pooled).sum(-1, keepdims=True) + 1e-12
@@ -340,7 +396,42 @@ def _convert_qwen2_state_dict(
 ) -> dict:
     """Qwen2-class (``Qwen2Model``/``Qwen2ForCausalLM``) state dict ->
     ``NewsEncoder(arch="qwen2")`` params. The ``lm_head`` is dropped (the
-    encoder consumes hidden states, never logits)."""
+    encoder consumes hidden states, never logits).
+
+    NV-Embed-layout checkpoints (``NVEmbedModel``: Mistral backbone under
+    ``embedding_model.``, pooling head under ``latent_attention_model.`` —
+    reference loads them with trust_remote_code, ``modeling_utils.py:371-
+    399``) convert natively too: the head's tensors map onto the
+    ``latent_pool`` module via ``convert_latent_attention`` (the head IS the
+    module this repo already ships, ``models/latent_attention.py``). No
+    checkpoint-shipped Python executes."""
+    head_state = None
+    if any(k.startswith("embedding_model.") for k in state_dict):
+        head_state = {
+            k[len("latent_attention_model."):]: v
+            for k, v in state_dict.items()
+            if k.startswith("latent_attention_model.")
+        }
+        state_dict = {
+            k[len("embedding_model."):]: v
+            for k, v in state_dict.items()
+            if k.startswith("embedding_model.")
+        }
+    if head_state is not None or config.latent_pool:
+        if not head_state:
+            raise ValueError(
+                "EncoderConfig.latent_pool is set but the checkpoint has no "
+                "latent_attention_model.* tensors — is this really an "
+                "NV-Embed-layout checkpoint?"
+            )
+        if not config.latent_pool:
+            raise ValueError(
+                "checkpoint carries an NV-Embed latent_attention_model head "
+                "but EncoderConfig.latent_pool is False; derive the config "
+                "with encoder_config_from_hf on the checkpoint's config.json "
+                "(architectures=['NVEmbedModel'] sets latent_pool and "
+                "bidirectional)"
+            )
     if any(k.startswith("model.") for k in state_dict):
         state_dict = {
             k[len("model."):]: v
@@ -396,6 +487,10 @@ def _convert_qwen2_state_dict(
             "up_proj": lin(f"{p}.mlp.up_proj", bias=False),
             "down_proj": lin(f"{p}.mlp.down_proj", bias=False),
         }
+    if head_state:
+        from .convert_towers import convert_latent_attention
+
+        params["latent_pool"] = convert_latent_attention(head_state)["params"]
     return {"params": params}
 
 
@@ -432,6 +527,44 @@ def encoder_config_from_hf(hf_config: dict, **overrides) -> EncoderConfig:
     import dataclasses
 
     arch_name = (hf_config.get("architectures") or ["XLMRobertaModel"])[0]
+    if arch_name == "NVEmbedModel":
+        # NV-Embed composite config: Mistral-family backbone fields under
+        # ``text_config``, pooling-head geometry under
+        # ``latent_attention_config`` (the field names the reference's own
+        # copy of the module reads, ``latent_attention.py``'s commented
+        # config block). The wrapper's two behavioral pieces become plain
+        # config: bidirectional attention + the latent_pool head.
+        text = dict(hf_config.get("text_config") or {})
+        if not text:
+            raise ValueError(
+                "NVEmbedModel config has no text_config (the Mistral-family "
+                "backbone fields) — is this a complete NV-Embed config.json?"
+            )
+        text.setdefault("architectures", ["MistralModel"])
+        lat = hf_config.get("latent_attention_config") or {}
+        latent_dim = lat.get("latent_dim", text.get("hidden_size"))
+        if latent_dim != text.get("hidden_size"):
+            raise ValueError(
+                f"NV-Embed latent_attention latent_dim={latent_dim} != "
+                f"backbone hidden_size={text.get('hidden_size')}; the head is "
+                "residual in the token stream so these must match"
+            )
+        return encoder_config_from_hf(
+            text,
+            **{
+                "bidirectional": True,
+                "latent_pool": True,
+                "latent_pool_num_latents": lat.get(
+                    "num_latents_value", lat.get("num_latents", 512)
+                ),
+                "latent_pool_heads": lat.get(
+                    "num_cross_heads", lat.get("cross_heads", 8)
+                ),
+                "latent_pool_dim_head": lat.get("cross_dim_head", 4096),
+                "pooling": "mean",  # the head mean-pools over tokens itself
+                **overrides,
+            },
+        )
     try:
         arch, pooling = _SUPPORTED_ARCHS[arch_name]
     except KeyError:

@@ -7,6 +7,8 @@ from .sharding import (
     make_sharded_tower_train_step,
     replicated,
     shard_news_table,
+    shard_token_store_states,
+    store_sharding,
     table_sharding,
 )
 
@@ -19,5 +21,7 @@ __all__ = [
     "make_sharded_tower_train_step",
     "replicated",
     "shard_news_table",
+    "shard_token_store_states",
+    "store_sharding",
     "table_sharding",
 ]

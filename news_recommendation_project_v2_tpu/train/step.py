@@ -428,6 +428,130 @@ def make_end2end_train_step_gathered(
     return step
 
 
+def _e2e_news_and_user(
+    token_encoder_apply, tower_apply, p, token_states, token_mask,
+    hist_idx, hist_mask, hist_rev, dropout_key,
+):
+    """Shared end-to-end forward: token encoder over the batch's unique news,
+    tower over gathered histories; returns (news_vecs, per-pair user rows)."""
+    k1, k2 = jax.random.split(dropout_key)
+    news_vecs = token_encoder_apply(
+        p["token_encoder"],
+        token_states,
+        token_mask,
+        deterministic=False,
+        rngs={"dropout": k1},
+    )
+    gathered = news_vecs[hist_idx] * hist_mask[..., None].astype(news_vecs.dtype)
+    user = tower_apply(
+        p["tower"],
+        gathered,
+        hist_mask,
+        deterministic=False,
+        rngs={"dropout": k2},
+    )
+    return news_vecs, user[hist_rev]
+
+
+def _infonce_from_vecs(u, news_vecs, pos_idx, neg_idx, pair_mask, temperature):
+    """One-positive-vs-K-negatives loss over cosine scores against a shared
+    news-vector table ([B, K] ``neg_idx`` with -1 padding)."""
+    from .losses import infonce_loss
+
+    pos_scores = safe_cosine(u, news_vecs[pos_idx])
+    neg_valid = (neg_idx >= 0).astype(jnp.float32)
+    neg_e = news_vecs[jnp.maximum(neg_idx, 0)]  # [B, K, D]
+    un = jnp.sqrt((u * u).sum(-1, keepdims=True) + 1e-16)
+    nn_ = jnp.sqrt((neg_e * neg_e).sum(-1) + 1e-16)
+    neg_scores = (u[:, None, :] * neg_e).sum(-1) / (un * nn_)
+    return infonce_loss(pos_scores, neg_scores, neg_valid, temperature, pair_mask)
+
+
+def make_end2end_infonce_step(
+    token_encoder_apply: Callable,
+    tower_apply: Callable,
+    optimizer: optax.GradientTransformation,
+    num_neg: int,
+    temperature: float = 1.0,
+) -> Callable:
+    """InfoNCE variant of ``make_end2end_train_step`` — the reference's e2e
+    trainer is margin-only (``trainer.py:985``), but this repo measured
+    InfoNCE better on the tower families (BASELINE.md config[1]) and extends
+    the option here: one positive vs K sampled negatives per pair, ``-1``
+    padding masked, all indices addressing the batch's unique-news axis M."""
+
+    def step(
+        params,
+        opt_state,
+        token_states,  # [M, T, Dt]
+        token_mask,  # [M, T]
+        hist_idx,  # [U, L]
+        hist_mask,  # [U, L]
+        hist_rev,  # [B]
+        pos_idx,  # [B]
+        neg_idx,  # [B, K] (-1 = pad)
+        pair_mask,  # [B]
+        dropout_key,
+    ):
+        def loss_fn(p):
+            news_vecs, u = _e2e_news_and_user(
+                token_encoder_apply, tower_apply, p, token_states, token_mask,
+                hist_idx, hist_mask, hist_rev, dropout_key,
+            )
+            return _infonce_from_vecs(
+                u, news_vecs, pos_idx, neg_idx, pair_mask, temperature
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, loss
+
+    return step
+
+
+def make_end2end_infonce_step_gathered(
+    token_encoder_apply: Callable,
+    tower_apply: Callable,
+    optimizer: optax.GradientTransformation,
+    num_neg: int,
+    temperature: float = 1.0,
+) -> Callable:
+    """InfoNCE variant of ``make_end2end_train_step_gathered`` (device-resident
+    flat token store, in-program gather; see that factory for the layout)."""
+
+    def step(
+        params,
+        opt_state,
+        flat_states,  # [total_tokens, Dt] — HBM-resident, NOT donated
+        tok_idx,  # [M, T]
+        tok_mask,  # [M, T]
+        hist_idx,  # [U, L]
+        hist_mask,  # [U, L]
+        hist_rev,  # [B]
+        pos_idx,  # [B]
+        neg_idx,  # [B, K] (-1 = pad)
+        pair_mask,  # [B]
+        dropout_key,
+    ):
+        def loss_fn(p):
+            token_states = flat_states[tok_idx].astype(jnp.float32) * tok_mask[
+                ..., None
+            ]
+            news_vecs, u = _e2e_news_and_user(
+                token_encoder_apply, tower_apply, p, token_states, tok_mask,
+                hist_idx, hist_mask, hist_rev, dropout_key,
+            )
+            return _infonce_from_vecs(
+                u, news_vecs, pos_idx, neg_idx, pair_mask, temperature
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, loss
+
+    return step
+
+
 def make_classification_train_step(
     head_apply: Callable,
     optimizer: optax.GradientTransformation,

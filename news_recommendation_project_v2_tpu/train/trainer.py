@@ -995,21 +995,17 @@ class EndToEndTrainer(ResumableTrainer):
         flat_eval: bool = False,  # token-local towers only
         device_metrics: bool = False,  # fused eval->metrics (flat_eval only)
         device_store: Optional[bool] = None,  # HBM-resident token store (auto)
+        shard_store: Optional[bool] = None,  # row-shard it over the mesh (auto)
     ):
         assert len(compiled_train.hist_lens) == compiled_train.num_rows
         assert (compiled_val is None) == (val_token_store is None), (
             "compiled_val and val_token_store come together (val impressions "
             "score against the val corpus's learned embeddings)"
         )
-        # Designed boundary, not a silent fallback: this trainer samples
-        # margin pairs only (reference AttentionAttentionTrainer is margin-
-        # only, trainer.py:985); a cfg recycled from the InfoNCE config[1]
-        # preset must fail loudly rather than train the wrong objective.
-        assert cfg.loss != "infonce", (
-            "EndToEndTrainer has no InfoNCE mode (margin pairs only, like the "
-            "reference AttentionAttentionTrainer); use TowerTrainer or "
-            "ClassificationTrainer for InfoNCE"
-        )
+        # The reference's e2e trainer is margin-only (trainer.py:985); this
+        # repo measured InfoNCE better on the tower families (BASELINE.md
+        # config[1]) and extends the option here — cfg.loss selects it on
+        # both the streaming and device-store steps (VERDICT r4 #6).
         # remote_sync generalizes the reference's hardcoded Azure Blob upload of
         # epoch checkpoints (trainer.py:1007-1015,1172-1197): any callable
         # receiving the local checkpoint path (rsync, gcs upload, ...).
@@ -1051,22 +1047,56 @@ class EndToEndTrainer(ResumableTrainer):
         # from the token block (hundreds of MBs at MIND scale) to index
         # grids (see make_end2end_train_step_gathered; benchmarks/
         # e2e_bench.py: 18.4x the streaming step on a tunneled v5e host).
+        # On meshes a store too big for ONE chip can still live ROW-SHARDED
+        # across the fleet's aggregate HBM (shard_token_store_states); the
+        # gather then rides ICI collectives instead of falling back to the
+        # ~18x-slower host streaming path — exactly the MIND-large regime
+        # (~10.2GB title-only: exceeds a 16GB chip's budget, ~1.3GB/chip on
+        # 8 devices).
+        from ..utils.memory import fits_device_token_store
+
+        store_geom = (
+            int(token_store.offsets[-1]),
+            int(token_store.states.shape[1]),
+            int(token_store.states.dtype.itemsize),
+        )
+        fits_one_chip = fits_device_token_store(*store_geom)
         if device_store is None:
-            from ..utils.memory import fits_device_token_store
-
-            device_store = fits_device_token_store(
-                int(token_store.offsets[-1]),
-                int(token_store.states.shape[1]),
-                int(token_store.states.dtype.itemsize),
+            device_store = fits_one_chip or (
+                mesh is not None
+                and fits_device_token_store(
+                    *store_geom, num_shards=mesh.devices.size
+                )
             )
+        if shard_store is None:
+            # Replicated wins when it fits (zero collectives in the gather);
+            # shard only when one chip's HBM cannot hold the store.
+            shard_store = bool(device_store) and mesh is not None and not fits_one_chip
+        assert not (shard_store and mesh is None), (
+            "shard_store requires a mesh (the store shards over its devices)"
+        )
+        assert not (shard_store and not device_store), (
+            "shard_store=True requires the device-resident store "
+            "(device_store must not be disabled)"
+        )
         self.device_store = bool(device_store)
+        self.store_sharded = bool(shard_store) and self.device_store
         self._dev_states = None
+        infonce = cfg.loss == "infonce"
         if self.device_store:
-            from .step import make_end2end_train_step_gathered
+            if infonce:
+                from .step import make_end2end_infonce_step_gathered
 
-            raw_step = make_end2end_train_step_gathered(
-                token_encoder_apply, tower_apply, self.optimizer, cfg.margin
-            )
+                raw_step = make_end2end_infonce_step_gathered(
+                    token_encoder_apply, tower_apply, self.optimizer,
+                    cfg.num_neg_per_pos,
+                )
+            else:
+                from .step import make_end2end_train_step_gathered
+
+                raw_step = make_end2end_train_step_gathered(
+                    token_encoder_apply, tower_apply, self.optimizer, cfg.margin
+                )
             if mesh is not None:
                 assert cfg.batch_size % mesh.shape["data"] == 0
                 from ..parallel.sharding import (
@@ -1074,6 +1104,7 @@ class EndToEndTrainer(ResumableTrainer):
                     make_sharded_e2e_train_step_gathered,
                     put_global,
                     replicated,
+                    shard_token_store_states,
                 )
 
                 rep = replicated(mesh)
@@ -1090,34 +1121,50 @@ class EndToEndTrainer(ResumableTrainer):
                         lambda l: put_global(l, rep), self.opt_state
                     )
                     self._rep_sharding = rep
-                    self._batch_shardings = e2e_gathered_step_shardings(mesh)[0][
-                        3:-1
-                    ]
-                    # Every process holds the full store; one global
-                    # replicated upload replaces the per-batch put_global of
-                    # the [M, T, D] block.
+                    self._batch_shardings = e2e_gathered_step_shardings(
+                        mesh, infonce=infonce
+                    )[0][3:-1]
+                # Commit the store with its step sharding BEFORE the first
+                # call: explicit in_shardings do not reshard committed
+                # arrays. Sharded: each device holds total/n rows
+                # (aggregate-HBM stores); replicated: one full copy per
+                # device, zero gather collectives. Both placements are one
+                # upload for the whole run (multi-process included:
+                # put_global feeds each process's addressable shards).
+                if self.store_sharded:
+                    self._dev_states = shard_token_store_states(
+                        mesh, token_store.states
+                    )
+                elif self._multiprocess:
                     self._dev_states = put_global(
                         np.asarray(token_store.states), rep
                     )
                 else:
-                    # Commit the store replicated BEFORE the first call:
-                    # explicit in_shardings do not reshard committed arrays.
                     self._dev_states = jax.device_put(
                         jnp.asarray(token_store.states), rep
                     )
                 self._train_step = make_sharded_e2e_train_step_gathered(
-                    raw_step, mesh
+                    raw_step, mesh, sharded_store=self.store_sharded,
+                    infonce=infonce,
                 )
             else:
                 self._dev_states = jnp.asarray(token_store.states)
                 self._train_step = jax.jit(raw_step, donate_argnums=(0, 1))
             return
 
-        from .step import make_end2end_train_step
+        if infonce:
+            from .step import make_end2end_infonce_step
 
-        raw_step = make_end2end_train_step(
-            token_encoder_apply, tower_apply, self.optimizer, cfg.margin
-        )
+            raw_step = make_end2end_infonce_step(
+                token_encoder_apply, tower_apply, self.optimizer,
+                cfg.num_neg_per_pos,
+            )
+        else:
+            from .step import make_end2end_train_step
+
+            raw_step = make_end2end_train_step(
+                token_encoder_apply, tower_apply, self.optimizer, cfg.margin
+            )
         if mesh is not None:
             assert cfg.batch_size % mesh.shape["data"] == 0
             if self._multiprocess:
@@ -1144,17 +1191,22 @@ class EndToEndTrainer(ResumableTrainer):
                     lambda l: put_global(l, rep), self.opt_state
                 )
                 self._rep_sharding = rep
-                self._batch_shardings = e2e_step_shardings(mesh)[0][2:-1]
+                self._batch_shardings = e2e_step_shardings(
+                    mesh, infonce=infonce
+                )[0][2:-1]
             from ..parallel.sharding import make_sharded_e2e_train_step
 
-            self._train_step = make_sharded_e2e_train_step(raw_step, mesh)
+            self._train_step = make_sharded_e2e_train_step(
+                raw_step, mesh, infonce=infonce
+            )
         else:
             self._train_step = jax.jit(raw_step, donate_argnums=(0, 1))
 
     def _epoch_batches(self) -> Iterator[tuple]:
         cfg = self.cfg
-        pairs, _ = sample_epoch_pairs(
+        pairs, negs = sample_epoch_pairs(
             self.rng, self.ct.imp_rev, self.ct.imp_lens, self.ct.labels_flat,
+            loss=cfg.loss, num_neg_per_pos=cfg.num_neg_per_pos,
             max_neg_ratio=cfg.max_neg_ratio, max_pos_ratio=cfg.max_pos_ratio,
             batch_size=cfg.batch_size,
         )
@@ -1163,15 +1215,20 @@ class EndToEndTrainer(ResumableTrainer):
         for start in range(0, pairs.shape[1], B):
             stop = min(start + B, pairs.shape[1])
             pos = pairs[0, start:stop]
-            neg = pairs[1, start:stop]
-            rows = pairs[2, start:stop]
+            rows = pairs[-1, start:stop]
+            if negs is None:
+                neg = pairs[1, start:stop]  # [b] margin negative
+                neg_union = neg
+            else:
+                neg = negs[:, start:stop].T  # [b, K] infonce, -1 pad
+                neg_union = neg[neg >= 0]
             uniq_rows, rev = np.unique(rows, return_inverse=True)
             # Union of news needed by this batch (histories + candidates),
             # reference collate data_utils.py:893-915.
             hist_slices = [
                 self.ct.hist_rev[offsets[r] : offsets[r + 1]] for r in uniq_rows
             ]
-            all_news = np.concatenate(hist_slices + [pos, neg])
+            all_news = np.concatenate(hist_slices + [pos, neg_union])
             uniq_news, inv = np.unique(all_news, return_inverse=True)
             # Open-ended: a batch's unique-news union must never be truncated.
             M = bucket_for_open(len(uniq_news), self.UNIQUE_BUCKETS)
@@ -1210,7 +1267,16 @@ class EndToEndTrainer(ResumableTrainer):
             cuts = np.cumsum(hist_lens_b)
             total_hist = int(cuts[-1]) if len(cuts) else 0
             pos_rel = inv[total_hist : total_hist + len(pos)]
-            neg_rel = inv[total_hist + len(pos) :]
+            if negs is None:
+                neg_rel = inv[total_hist + len(pos) :]  # [b]
+            else:
+                # [b, K]: valid ids are all in uniq_news (unioned above), so
+                # sorted-search recovers their rows; -1 padding survives.
+                neg_rel = np.where(
+                    neg >= 0,
+                    np.searchsorted(uniq_news, np.maximum(neg, 0)),
+                    -1,
+                )
             max_hist = int(hist_lens_b.max()) if len(hist_lens_b) else 1
             L = bucket_for(max_hist, self.buckets)
             # End-aligned gather (most recent clicks when capping), vectorized.
@@ -1226,7 +1292,14 @@ class EndToEndTrainer(ResumableTrainer):
                 hist_mask,
                 np.pad(rev.astype(np.int32), (0, pad)),
                 np.pad(pos_rel.astype(np.int32), (0, pad)),
-                np.pad(neg_rel.astype(np.int32), (0, pad)),
+                (
+                    np.pad(
+                        neg_rel.astype(np.int32), ((0, pad), (0, 0)),
+                        constant_values=-1,
+                    )
+                    if negs is not None
+                    else np.pad(neg_rel.astype(np.int32), (0, pad))
+                ),
                 np.pad(np.ones(stop - start, np.float32), (0, pad)),
             )
 

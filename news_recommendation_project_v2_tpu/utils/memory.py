@@ -302,6 +302,7 @@ def fits_device_token_store(
     bytes_per_el: int = 4,
     hbm_budget_bytes: Optional[int] = None,
     fraction: float = 0.35,
+    num_shards: int = 1,
 ) -> bool:
     """True when the WHOLE flat token store fits in HBM next to params,
     optimizer state, and step activations (``EndToEndTrainer``'s
@@ -309,5 +310,12 @@ def fits_device_token_store(
     per-step host->device transfer is index grids instead of the [M, T, D]
     token block). MIND-small title-only stores (~1.6M tokens x 1024 f32 ~
     6.5GB) fit a 16GB chip; 512-token full-text stores (~137GB) do not and
-    keep the streaming host path."""
-    return total_tokens * dim * bytes_per_el <= _budget(hbm_budget_bytes, fraction)
+    keep the streaming host path.
+
+    ``num_shards`` budgets a ROW-SHARDED store over a device mesh
+    (``parallel.sharding.shard_token_store_states``: each device holds
+    total/num_shards rows, so the fleet's AGGREGATE HBM is the budget —
+    MIND-large title-only ~10.2GB exceeds one 16GB chip but is ~1.3GB/chip
+    on 8 devices). ``hbm_budget_bytes`` stays PER-DEVICE either way."""
+    per_device = -(-total_tokens // max(num_shards, 1)) * dim * bytes_per_el
+    return per_device <= _budget(hbm_budget_bytes, fraction)

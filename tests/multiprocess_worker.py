@@ -299,7 +299,7 @@ token_store = TokenStore.from_ragged(tok_arrays)
 tok_model = TokenAttentionPool(hidden_size=D, num_layers=1)
 
 
-def make_e2e(mesh_, device_store):
+def make_e2e(mesh_, device_store, shard_store=None):
     tok_params = jax.jit(
         lambda: tok_model.init(
             jax.random.key(5), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
@@ -324,14 +324,20 @@ def make_e2e(mesh_, device_store):
         flat_eval=True,
         device_metrics=True,
         device_store=device_store,
+        shard_store=shard_store,
     )
 
 
-# Both cross-process input paths: streaming (per-batch put_global of the
-# [M, T, D] block) and device-resident store (ONE global replicated upload,
-# per-batch index grids).
+# All three cross-process input paths: streaming (per-batch put_global of the
+# [M, T, D] block), device-resident store (ONE global replicated upload,
+# per-batch index grids), and the row-SHARDED device store (each process's
+# devices hold their row shards; the in-program gather rides collectives —
+# the aggregate-HBM path for stores bigger than one chip).
 e2e_mp = make_e2e(mesh, device_store=False).train()
 e2e_mp_dev = make_e2e(mesh, device_store=True).train()
+e2e_shard_trainer = make_e2e(mesh, device_store=True, shard_store=True)
+assert e2e_shard_trainer.store_sharded
+e2e_mp_shard = e2e_shard_trainer.train()
 e2e_single = make_e2e(None, device_store=True).train()
 
 
@@ -359,9 +365,11 @@ cls_single = make_cls(None).train()
 train_run = {
     "e2e_mp_loss": e2e_mp[-1]["loss"],
     "e2e_mp_dev_loss": e2e_mp_dev[-1]["loss"],
+    "e2e_mp_shard_loss": e2e_mp_shard[-1]["loss"],
     "e2e_single_loss": e2e_single[-1]["loss"],
     "e2e_mp_val": e2e_mp[-1]["val"],
     "e2e_mp_dev_val": e2e_mp_dev[-1]["val"],
+    "e2e_mp_shard_val": e2e_mp_shard[-1]["val"],
     "e2e_single_val": e2e_single[-1]["val"],
     "cls_mp_loss": cls_mp[-1]["loss"],
     "cls_single_loss": cls_single[-1]["loss"],

@@ -233,32 +233,57 @@ def test_token_store_float16(rng, tmp_path):
     np.testing.assert_allclose(batch[0, :, 0], [2.0, 3.0])
 
 
-def test_end_to_end_trainer_rejects_infonce(learnable):
-    """Designed boundary: EndToEndTrainer is margin-only (the reference
-    AttentionAttentionTrainer has no InfoNCE mode, ``trainer.py:985``); a cfg
-    recycled from the InfoNCE config[1] preset must fail loudly instead of
-    silently training margin pairs under an InfoNCE label."""
+def test_end_to_end_trainer_infonce(learnable, rng):
+    """InfoNCE mode for the e2e family (VERDICT r4 #6 — the reference's
+    AttentionAttentionTrainer is margin-only, ``trainer.py:985``; this repo
+    measured InfoNCE better on the tower families and extends it here): the
+    loss LEARNS on the synthetic fixture, and the device-resident-store
+    gathered step reproduces the host-streaming step exactly (same negative
+    [B, K] columns with -1 padding on both)."""
     c, emb = learnable
-    tower, tower_params = make_tower()
-    tok_model = TokenAttentionPool(hidden_size=D, num_layers=1)
-    tok_params = jax.jit(
-        lambda: tok_model.init(
-            jax.random.key(3), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
-        )
-    )()
-    store = TokenStore.from_ragged(
-        [np.zeros((2, D), np.float32) for _ in range(c.num_news)]
-    )
-    with pytest.raises(AssertionError, match="InfoNCE"):
-        EndToEndTrainer(
+    emb_np = np.asarray(emb)
+    arrays = [
+        emb_np[i][None, :]
+        + rng.standard_normal((int(rng.integers(2, 7)), D)).astype(np.float32)
+        * 0.05
+        for i in range(c.num_news)
+    ]
+    store = TokenStore.from_ragged(arrays)
+
+    def make(device_store):
+        tower, tower_params = make_tower()
+        tok_model = TokenAttentionPool(hidden_size=D, num_layers=1)
+        tok_params = jax.jit(
+            lambda: tok_model.init(
+                jax.random.key(3), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
+            )
+        )()
+        return EndToEndTrainer(
             tok_model.apply,
             tok_params,
             tower.apply,
             tower_params,
             c,
             store,
-            cfg=TrainConfig(loss="infonce", batch_size=32),
+            cfg=TrainConfig(
+                loss="infonce", num_neg_per_pos=3, learning_rate=1e-4,
+                num_epochs=2, batch_size=32, seed=0,
+            ),
+            max_token_len=8,
+            device_store=device_store,
         )
+
+    t_host, t_dev = make(False), make(True)
+    losses = []
+    for _ in range(2):
+        lh, ld = t_host.train_one_epoch(), t_dev.train_one_epoch()
+        assert lh == pytest.approx(ld, abs=1e-6)
+        losses.append(lh)
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    for p1, p2 in zip(
+        jax.tree.leaves(t_host.params), jax.tree.leaves(t_dev.params)
+    ):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
 
 
 def test_joint_trainer_rejects_flat_train(learnable):

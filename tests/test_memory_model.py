@@ -157,3 +157,30 @@ def test_serve_batch_cap():
     # Linear in budget (up to pow2 flooring), never below the floor of 8.
     assert estimate_serve_batch_cap(1024, 600, 300, hbm_budget_bytes=64 * GB) >= big
     assert estimate_serve_batch_cap(4096, 600, 600, hbm_budget_bytes=1 * GB) == 8
+
+
+def test_fits_device_token_store_sharded_aggregate():
+    """num_shards budgets the ROW-SHARDED store against aggregate mesh HBM
+    (per-device budget stays fixed): MIND-large title-only (~10.2GB f32)
+    exceeds one 16GB chip's 0.35 budget but fits 8 shards at ~1.3GB/chip —
+    the regime VERDICT r4 #1 targets."""
+    from news_recommendation_project_v2_tpu.utils.memory import (
+        fits_device_token_store,
+    )
+
+    GB = 1024**3
+    total, dim = 104_151 * 24, 1024  # MIND-large title-only geometry
+    assert not fits_device_token_store(total, dim, hbm_budget_bytes=16 * GB)
+    assert fits_device_token_store(
+        total, dim, hbm_budget_bytes=16 * GB, num_shards=8
+    )
+    # full-text stores exceed even the 8-chip aggregate
+    assert not fits_device_token_store(
+        104_151 * 512, dim, hbm_budget_bytes=16 * GB, num_shards=8
+    )
+    # num_shards=1 is the old single-chip semantics exactly
+    assert fits_device_token_store(
+        1_000_000, dim, hbm_budget_bytes=16 * GB
+    ) == fits_device_token_store(
+        1_000_000, dim, hbm_budget_bytes=16 * GB, num_shards=1
+    )

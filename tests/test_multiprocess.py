@@ -124,12 +124,18 @@ def test_sharded_step_across_processes(tmp_path):
         np.testing.assert_allclose(
             tr["e2e_mp_dev_loss"], tr["e2e_single_loss"], rtol=1e-4
         )
+        # ...and the row-SHARDED device store (aggregate-HBM path): the
+        # GSPMD-collective gather must reproduce the same run.
+        np.testing.assert_allclose(
+            tr["e2e_mp_shard_loss"], tr["e2e_single_loss"], rtol=1e-4
+        )
         # Metric atol 1e-3, not 1e-5: the mp training path's gradient-psum
         # f32 ordering drifts the epoch's weights by ~1e-6, and a single
         # near-tie score pair flipping moves AUC by ~1/(rows*pairs) ~ 3e-4.
         for k, v in tr["e2e_single_val"].items():
             np.testing.assert_allclose(tr["e2e_mp_val"][k], v, atol=1e-3)
             np.testing.assert_allclose(tr["e2e_mp_dev_val"][k], v, atol=1e-3)
+            np.testing.assert_allclose(tr["e2e_mp_shard_val"][k], v, atol=1e-3)
         # ClassificationTrainer across processes: replicated-output predict
         # keeps baseline_scores a plain fetch; run == single-device.
         np.testing.assert_allclose(

@@ -140,11 +140,16 @@ def test_qwen2_checkpoint_dir_end_to_end(qwen2_ref, tmp_path, rng):
 
 
 def test_unsupported_architecture_is_a_designed_boundary():
-    """NV-Embed-style remote-code architectures raise a clear ValueError
-    naming the supported families — not a KeyError mid-conversion."""
-    for arch in ("NVEmbedModel", "NewModel", "GPT2Model"):
+    """Unsupported remote-code architectures raise a clear ValueError naming
+    the supported families — not a KeyError mid-conversion. (NVEmbedModel
+    left this list in round 5: it now loads natively,
+    tests/test_nv_embed_native.py; an INCOMPLETE NV-Embed config still gets
+    its own clear error.)"""
+    for arch in ("NewModel", "GPT2Model"):
         with pytest.raises(ValueError, match="not supported; supported"):
             encoder_config_from_hf({**BASE_HF, "architectures": [arch]})
+    with pytest.raises(ValueError, match="text_config"):
+        encoder_config_from_hf({"architectures": ["NVEmbedModel"]})
 
 
 def test_qwen2_bf16_pad_rows_are_nan_inert(qwen2_ref, rng):

@@ -368,12 +368,28 @@ def test_mesh_joint_trainer_matches_single_device(mesh):
         assert h_mesh[-1]["val"][k] == pytest.approx(v, abs=1e-6)
 
 
-@pytest.mark.parametrize("device_store", [False, True])
-def test_mesh_e2e_trainer_matches_single_device(mesh, rng, device_store):
+@pytest.mark.parametrize(
+    "device_store,shard_store,loss",
+    [
+        (False, False, "margin"),
+        (True, False, "margin"),
+        (True, True, "margin"),
+        (True, True, "infonce"),
+    ],
+    ids=[
+        "streaming", "replicated-store", "sharded-store",
+        "sharded-store-infonce",
+    ],
+)
+def test_mesh_e2e_trainer_matches_single_device(
+    mesh, rng, device_store, shard_store, loss
+):
     """Sharded end-to-end (token encoder + tower) training run reproduces the
-    single-device run's losses — on both the host-streaming step and the
-    device-resident-store gathered step (states replicated in HBM, index
-    grids sharded over ``data``)."""
+    single-device run's losses — on the host-streaming step, the
+    device-resident-store gathered step (states replicated in HBM), AND the
+    row-SHARDED store (states split over every mesh device,
+    ``shard_token_store_states``; the in-program gather rides GSPMD
+    collectives — the aggregate-HBM path for stores bigger than one chip)."""
     from news_recommendation_project_v2_tpu.data import compile_behaviors
     from news_recommendation_project_v2_tpu.data.synthetic import (
         align_embeddings,
@@ -412,14 +428,32 @@ def test_mesh_e2e_trainer_matches_single_device(mesh, rng, device_store):
         )()
         return EndToEndTrainer(
             tok_model.apply, tok_params, tower.apply, tower_params, c, store,
-            cfg=TrainConfig(learning_rate=1e-4, num_epochs=1, batch_size=32, seed=0),
+            cfg=TrainConfig(
+                loss=loss, num_neg_per_pos=3, learning_rate=1e-4,
+                num_epochs=1, batch_size=32, seed=0,
+            ),
             max_token_len=8,
             mesh=mesh,
             device_store=device_store,
+            shard_store=shard_store if mesh is not None else None,
         )
 
     h_single = make(None).train()
-    h_mesh = make(mesh).train()
+    t_mesh = make(mesh)
+    if mesh is not None and device_store:
+        assert t_mesh.store_sharded == shard_store
+        if shard_store:
+            # The committed store really is row-sharded across all devices
+            # (padded to a shard multiple), not replicated.
+            n_dev = mesh.devices.size
+            total = int(store.offsets[-1])
+            padded = total + (-total) % n_dev
+            assert t_mesh._dev_states.shape[0] == padded
+            shard_rows = {
+                s.data.shape[0] for s in t_mesh._dev_states.addressable_shards
+            }
+            assert shard_rows == {padded // n_dev}
+    h_mesh = t_mesh.train()
     assert h_single[-1]["loss"] == pytest.approx(h_mesh[-1]["loss"], rel=1e-4)
 
 
