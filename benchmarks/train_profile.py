@@ -500,20 +500,26 @@ def profile_e2e_sweep(M=2048, T=64):
         var = ((h - mu) ** 2).mean(-1, keepdims=True)
         return (h - mu) * jax.lax.rsqrt(var + 1e-12)
 
-    def rest_of_layer(attn_out, h, m):
+    def rest_of_layer(pp, attn_out, h, m):
         a = ln(attn_out + h)
-        g = a @ p["m1"] + p["m1_b"]
+        g = a @ pp["m1"] + pp["m1_b"]
         g1, g2 = jnp.split(g, 2, axis=-1)
-        mlp = (jax.nn.gelu(g1) * g2) @ p["m2"] + p["m2_b"]
+        mlp = (jax.nn.gelu(g1) * g2) @ pp["m2"] + pp["m2_b"]
         out = ln(mlp + a)
         # last-token pool (TokenAttentionPool epilogue)
         idx = jnp.maximum(m.sum(-1).astype(jnp.int32) - 1, 0)
         pooled = out[jnp.arange(out.shape[0]), idx]
         return (pooled * pooled).sum()
 
-    bias = (1.0 - mask[:, None, None, :]) * jnp.finfo(jnp.float32).min
+    # Everything big travels as a jit ARGUMENT — closure constants embed in
+    # the uploaded HLO as literals and blow the remote-compile service's
+    # request-size limit (HTTP 413; same lesson as the metric grids,
+    # CLAUDE.md).
+    bias = jnp.asarray(
+        (1.0 - mask_np[:, None, None, :]) * np.finfo(np.float32).min
+    )
 
-    def attn_baseline(pp, h, m):
+    def attn_baseline(pp, h, bias_):
         b, l, _ = h.shape
         qkv = h @ pp["qkv"] + pp["qkv_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -521,12 +527,12 @@ def profile_e2e_sweep(M=2048, T=64):
         k = k.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd**-0.5
-        probs = jax.nn.softmax(logits.astype(jnp.float32) + bias, axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32) + bias_, axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
         return ctx @ pp["o"] + pp["o_b"]
 
-    def attn_no_transpose(pp, h, m):
+    def attn_no_transpose(pp, h, bias_):
         b, l, _ = h.shape
         qkv = h @ pp["qkv"] + pp["qkv_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -534,11 +540,11 @@ def profile_e2e_sweep(M=2048, T=64):
         k = k.reshape(b, l, heads, hd)
         v = v.reshape(b, l, heads, hd)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * hd**-0.5
-        probs = jax.nn.softmax(logits.astype(jnp.float32) + bias, axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32) + bias_, axis=-1)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
         return ctx.reshape(b, l, d) @ pp["o"] + pp["o_b"]
 
-    def attn_lowp_probs(pp, h, m):
+    def attn_lowp_probs(pp, h, bias_):
         b, l, _ = h.shape
         qkv = h @ pp["qkv"] + pp["qkv_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -546,28 +552,26 @@ def profile_e2e_sweep(M=2048, T=64):
         k = k.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd**-0.5
-        probs = jax.nn.softmax(logits + bias.astype(logits.dtype), axis=-1)
+        probs = jax.nn.softmax(logits + bias_.astype(logits.dtype), axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
         return ctx @ pp["o"] + pp["o_b"]
 
-    def attn_sdpa(pp, h, m):
+    def attn_sdpa(pp, h, bias_):
         b, l, _ = h.shape
         qkv = h @ pp["qkv"] + pp["qkv_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, l, heads, hd)
         k = k.reshape(b, l, heads, hd)
         v = v.reshape(b, l, heads, hd)
-        ctx = jax.nn.dot_product_attention(
-            q, k, v, mask=m[:, None, None, :] > 0
-        )
+        ctx = jax.nn.dot_product_attention(q, k, v, bias=bias_)
         return ctx.reshape(b, l, d) @ pp["o"] + pp["o_b"]
 
     variants = {
-        "baseline": attn_baseline,
-        "no-transpose": attn_no_transpose,
-        "lowp-probs": attn_lowp_probs,
-        "sdpa": attn_sdpa,
+        "baseline": (attn_baseline, bias),
+        "no-transpose": (attn_no_transpose, bias),
+        "lowp-probs": (attn_lowp_probs, bias),
+        "sdpa": (attn_sdpa, bias),
     }
 
     # Block-packing: g news rows share one attention of length g*T with a
@@ -582,7 +586,7 @@ def profile_e2e_sweep(M=2048, T=64):
         ) * np.finfo(np.float32).min
         pbias = jnp.asarray(pb)
 
-        def attn_packed(pp, h, m):
+        def attn_packed(pp, h, bias_):
             hp = h.reshape(Mp, g * T, d)
             b, l, _ = hp.shape
             qkv = hp @ pp["qkv"] + pp["qkv_b"]
@@ -591,13 +595,13 @@ def profile_e2e_sweep(M=2048, T=64):
             k = k.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
             v = v.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
             logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd**-0.5
-            probs = jax.nn.softmax(logits.astype(jnp.float32) + pbias, axis=-1)
+            probs = jax.nn.softmax(logits.astype(jnp.float32) + bias_, axis=-1)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
             out = ctx @ pp["o"] + pp["o_b"]
             return out.reshape(M, T, d)
 
-        return attn_packed
+        return attn_packed, pbias
 
     for g in (2, 4):
         if M % g == 0:
@@ -605,21 +609,21 @@ def profile_e2e_sweep(M=2048, T=64):
 
     # Matmul-only floor: attention einsums+softmax replaced by the o-proj of
     # v alone (keeps every dense matmul, drops the attention math).
-    def attn_removed(pp, h, m):
+    def attn_removed(pp, h, bias_):
         qkv = h @ pp["qkv"] + pp["qkv_b"]
         _, _, v = jnp.split(qkv, 3, axis=-1)
         return v @ pp["o"] + pp["o_b"]
 
-    variants["attn-removed"] = attn_removed
+    variants["attn-removed"] = (attn_removed, bias)
 
     results = {}
-    for name, attn in variants.items():
-        def loss_fn(pp, attn=attn):
-            return rest_of_layer(attn(pp, x, mask), x, mask)
+    for name, (attn, bias_arg) in variants.items():
+        def loss_fn(pp, h, m, bias_, attn=attn):
+            return rest_of_layer(pp, attn(pp, h, bias_), h, m)
 
         vg = jax.jit(jax.value_and_grad(loss_fn))
         med, best = timed(
-            lambda: vg(p), lambda r: float(r[0]), steps=10
+            lambda: vg(p, x, mask, bias_arg), lambda r: float(r[0]), steps=10
         )
         results[name] = best
         log(f"{name:14s} fwd+bwd {med * 1e3:8.1f} ms med  {best * 1e3:8.1f} ms best")

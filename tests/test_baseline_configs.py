@@ -1,5 +1,6 @@
 """BASELINE configs[0..1] runnable presets on the synthetic fixture."""
 
+import pytest
 import numpy as np
 
 from news_recommendation_project_v2_tpu.config import TrainConfig
@@ -53,6 +54,7 @@ def test_config1_latent_tower_learns():
     assert metrics["auc"] > 0.6, metrics
 
 
+@pytest.mark.slow
 def test_config2_end_to_end_runs(rng):
     from news_recommendation_project_v2_tpu.configs import run_config2
     from news_recommendation_project_v2_tpu.ops.encode import TokenStore
@@ -77,6 +79,7 @@ def test_config2_end_to_end_runs(rng):
     assert 0 <= m["auc"] <= 1
 
 
+@pytest.mark.slow
 def test_config3_sharded_training_full_run():
     """Config[3] is the FULL scenario on the mesh: epochs of sharded steps +
     sharded eval with MIND metrics, not a smoke-depth step count."""
@@ -102,6 +105,7 @@ def test_config3_sharded_training_full_run():
     assert metrics["auc"] > 0.55, metrics
 
 
+@pytest.mark.slow
 def test_config4_multihost_pipeline_runs():
     import jax
     import jax.numpy as jnp

@@ -105,6 +105,39 @@ def test_reduce_trainer(learnable):
     assert not np.allclose(before, np.asarray(after))
 
 
+def test_end_to_end_smoke(learnable, rng):
+    """Fast-tier representative of the e2e family (the thorough equality and
+    multi-epoch variants are `slow`): one epoch on the device-store step +
+    materialization, finite loss, correct shapes."""
+    c, emb = learnable
+    emb_np = np.asarray(emb)
+    store = TokenStore.from_ragged(
+        [
+            emb_np[i][None, :]
+            + rng.standard_normal((2, D)).astype(np.float32) * 0.05
+            for i in range(c.num_news)
+        ]
+    )
+    tower, tower_params = make_tower()
+    tok_model = TokenAttentionPool(hidden_size=D, num_layers=1)
+    tok_params = jax.jit(
+        lambda: tok_model.init(
+            jax.random.key(3), jnp.zeros((1, 4, D)), jnp.ones((1, 4))
+        )
+    )()
+    trainer = EndToEndTrainer(
+        tok_model.apply, tok_params, tower.apply, tower_params, c, store,
+        cfg=TrainConfig(learning_rate=1e-4, num_epochs=1, batch_size=64, seed=0),
+        max_token_len=4,
+        device_store=True,
+    )
+    loss = trainer.train_one_epoch()
+    assert np.isfinite(loss)
+    news_emb = trainer.materialize_news_embeddings(batch_size=64)
+    assert news_emb.shape == (c.num_news, D) and np.isfinite(news_emb).all()
+
+
+@pytest.mark.slow
 def test_end_to_end_trainer(learnable, rng):
     c, emb = learnable
     emb_np = np.asarray(emb)
@@ -143,6 +176,7 @@ def test_end_to_end_trainer(learnable, rng):
     assert np.isfinite(news_emb).all()
 
 
+@pytest.mark.slow
 def test_end_to_end_from_memmap_store(learnable, rng, tmp_path):
     """VERDICT r1 item 4: the out-of-core token store. Build the store by
     streaming encoder states straight to a disk memmap, reopen it memory-mapped,
@@ -233,6 +267,7 @@ def test_token_store_float16(rng, tmp_path):
     np.testing.assert_allclose(batch[0, :, 0], [2.0, 3.0])
 
 
+@pytest.mark.slow
 def test_end_to_end_trainer_infonce(learnable, rng):
     """InfoNCE mode for the e2e family (VERDICT r4 #6 — the reference's
     AttentionAttentionTrainer is margin-only, ``trainer.py:985``; this repo
@@ -310,6 +345,7 @@ def test_joint_trainer_rejects_flat_train(learnable):
         )
 
 
+@pytest.mark.slow
 def test_end_to_end_device_store_matches_host_path(learnable, rng):
     """The device-resident token store (flat states in HBM, gather inside the
     jitted step — uploads index grids instead of the [M, T, D] block) is

@@ -107,6 +107,7 @@ def test_corrupt_ids_raise(tmp_path, rng):
         TokenStore.from_reference_sqlite(db)
 
 
+@pytest.mark.slow
 def test_e2e_trainer_runs_from_imported_store(tmp_path, rng):
     """The judge's done-criterion: a reference-format sqlite store trains
     EndToEndTrainer unchanged (and the loss moves)."""

@@ -4,11 +4,13 @@ config scenarios end to end and emit one metric row per config — the same
 command reproduces the real-data rows when MIND data and the e5 checkpoint are
 present (SURVEY.md §6 self-established baseline)."""
 
+import pytest
 import json
 
 from news_recommendation_project_v2_tpu.cli import reproduce
 
 
+@pytest.mark.slow
 def test_reproduce_dry_run_emits_config_rows(tmp_path):
     rows = reproduce.main(
         [

@@ -1,5 +1,6 @@
 """Training resume, per-host row sharding, and graft-entry regression tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -79,6 +80,7 @@ def test_shard_rows_partition(rng):
         assert view.num_rows == len(s.hist_lens)
 
 
+@pytest.mark.slow
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as g
 
@@ -180,6 +182,7 @@ def test_classification_resume_equals_uninterrupted(tmp_path):
     assert t2.best.best_score == straight.best.best_score
 
 
+@pytest.mark.slow
 def test_end_to_end_resume_equals_uninterrupted(tmp_path, rng):
     """VERDICT r2 item 7: EndToEndTrainer full preemption resume (params +
     optimizer + dropout key + sampling rng + history)."""

@@ -368,6 +368,7 @@ def test_mesh_joint_trainer_matches_single_device(mesh):
         assert h_mesh[-1]["val"][k] == pytest.approx(v, abs=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "device_store,shard_store,loss",
     [
