@@ -564,6 +564,99 @@ def materialize_from_token_store(
     return np.concatenate(out)
 
 
+def materialize_from_token_store_mesh(
+    token_encoder_apply: Callable,  # (params, [B,T,D], [B,T]) -> [B,D]
+    params,  # replicated on the mesh (committed globals or host values)
+    store: "TokenStore",
+    mesh,  # jax.sharding.Mesh
+    dev_states,  # COMMITTED flat [total_tokens, D] (replicated OR row-sharded)
+    batch_size: Optional[int] = None,
+    max_token_len: int = 512,
+    token_buckets: tuple[int, ...] = (64, 128, 256, 512),
+    multiprocess: bool = False,
+    apply_cache: Optional[dict] = None,  # caller-held: reuse the jitted program across epochs
+) -> np.ndarray:
+    """``materialize_from_token_store``'s device-store path as a GLOBAL mesh
+    program: each chunk's [B, T] index grids shard their row axis over
+    ``data`` (the token encoder runs data-parallel), the gather reads the
+    committed HBM store in place (replicated or row-sharded —
+    ``dev_states.sharding`` is matched exactly, so both placements work), and
+    the pooled [B, D] output comes back REPLICATED, which is addressable on
+    every process — this is what lets multi-process e2e training keep the
+    device-resident store for its per-epoch materialization instead of
+    falling back to the host streaming path (a local jit cannot mix with
+    global arrays; a global program with explicit shardings can). Chunk
+    dispatches ride the same bounded in-flight window as the local path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import bucket_for_open
+    from ..utils.inflight import InflightWindow
+
+    n = store.num_items
+    data_size = mesh.shape["data"]
+    if batch_size is None:
+        from ..utils.memory import estimate_token_attention_batch
+
+        batch_size = min(
+            1024,
+            max(8, 1 << max(0, int(n) - 1).bit_length()),
+            estimate_token_attention_batch(
+                dim=int(store.states.shape[1]), token_len=max_token_len
+            ),
+        )
+    batch_size = max(data_size, (batch_size // data_size) * data_size)
+
+    rep = NamedSharding(mesh, P())
+    dat2 = NamedSharding(mesh, P("data", None))
+    cache_key = (mesh, dev_states.sharding)
+    if apply_cache is not None and cache_key in apply_cache:
+        apply = apply_cache[cache_key]
+    else:
+        apply = jax.jit(
+            lambda p, flat, i, m: token_encoder_apply(
+                p, flat[i].astype(jnp.float32) * m[..., None], m
+            ),
+            in_shardings=(rep, dev_states.sharding, dat2, dat2),
+            out_shardings=rep,
+        )
+        if apply_cache is not None:
+            apply_cache[cache_key] = apply
+
+    def place(x, sharding):
+        if multiprocess:
+            from ..parallel.sharding import put_global
+
+            return put_global(np.asarray(x), sharding)
+        return jnp.asarray(x)
+
+    out = []
+    window = InflightWindow(
+        4, lambda item: out.append(np.asarray(item[0])[: item[1]])
+    )
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        lens = np.minimum(
+            store.offsets[idx + 1] - store.offsets[idx], max_token_len
+        )
+        T = bucket_for_open(int(lens.max()), token_buckets)
+        tok_idx, mask = store.padded_index_batch(
+            idx, T, out_rows=batch_size, max_len=max_token_len
+        )
+        window.push(
+            (
+                apply(
+                    params,
+                    dev_states,
+                    place(tok_idx, dat2),
+                    place(mask.astype(np.float32), dat2),
+                ),
+                len(idx),
+            )
+        )
+    window.flush()
+    return np.concatenate(out)
+
+
 def build_token_store(
     encoder_hidden_apply: Callable,  # (params, ids, mask) -> [B, T, D] hidden states
     params,

@@ -1036,6 +1036,7 @@ class EndToEndTrainer(ResumableTrainer):
         self.best = BestTracker(ckpt_dir, exp_name)
         self.history: list[dict] = []
         self._hist_offsets = lengths_to_offsets(compiled_train.hist_lens)
+        self._mat_mesh_cache: dict = {}  # mesh-materialize program reuse
 
         self.mesh = mesh
         self._multiprocess = mesh is not None and any(
@@ -1425,22 +1426,39 @@ class EndToEndTrainer(ResumableTrainer):
     ) -> np.ndarray:
         """Learned token encoder over the whole store -> [N, D] news embeddings
         (reference ``apply_token_attn``; shared helper in ``ops.encode``)."""
-        from ..ops.encode import materialize_from_token_store
+        from ..ops.encode import (
+            materialize_from_token_store,
+            materialize_from_token_store_mesh,
+        )
 
         params = self.params["token_encoder"]
-        if self._multiprocess:
-            # Run the materialization process-LOCALLY from host copies of the
-            # replicated params (every process holds the full value and the
-            # full token store, so the results are identical everywhere);
-            # mixing global arrays with uncommitted host batches in one local
-            # jit is not allowed.
-            params = jax.tree.map(np.asarray, params)
         target = self.store if store is None else store
         # The HBM-resident states belong to the TRAIN store; other stores
         # (val corpus) stream through the host path.
         dev = self._dev_states if target is self.store else None
+        if self.mesh is not None and dev is not None:
+            # Global mesh program: reads the committed store in place
+            # (replicated OR row-sharded), replicated output addressable on
+            # every process — multi-process runs keep the device store here
+            # too (round 5; previously they fell back to host streaming
+            # because a local jit cannot mix with global arrays).
+            return materialize_from_token_store_mesh(
+                self.token_encoder_apply,
+                params,
+                target,
+                self.mesh,
+                dev,
+                batch_size=batch_size,
+                max_token_len=self.max_token_len,
+                token_buckets=self.TOKEN_BUCKETS,
+                multiprocess=self._multiprocess,
+                apply_cache=self._mat_mesh_cache,
+            )
         if self._multiprocess:
-            dev = None  # local jits cannot mix with global arrays
+            # Host streaming path, process-LOCALLY from host copies of the
+            # replicated params (every process holds the full value and the
+            # full token store, so the results are identical everywhere).
+            params = jax.tree.map(np.asarray, params)
         return materialize_from_token_store(
             self.token_encoder_apply,
             params,

@@ -555,3 +555,59 @@ def test_sequence_sharded_tower_matches(mesh, rng):
     np.testing.assert_allclose(
         np.asarray(plain), np.asarray(sharded), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("shard_store", [False, True], ids=["replicated", "sharded"])
+def test_mesh_materialize_matches_host_path(mesh, rng, shard_store):
+    """The GLOBAL mesh materialization program (round 5: committed store read
+    in place — replicated or row-sharded — data-sharded index grids,
+    replicated output) reproduces the host streaming path exactly. This is
+    the path that keeps multi-process e2e evals on the device store."""
+    from news_recommendation_project_v2_tpu.models import TokenAttentionPool
+    from news_recommendation_project_v2_tpu.ops.encode import (
+        TokenStore,
+        materialize_from_token_store,
+        materialize_from_token_store_mesh,
+    )
+    from news_recommendation_project_v2_tpu.parallel.sharding import (
+        replicated,
+        shard_token_store_states,
+    )
+
+    num_news = 37  # deliberately not a multiple of anything
+    arrays = [
+        rng.standard_normal((int(rng.integers(2, 7)), D)).astype(np.float32)
+        for _ in range(num_news)
+    ]
+    store = TokenStore.from_ragged(arrays)
+    tok_model = TokenAttentionPool(hidden_size=D, num_layers=1)
+    params = jax.jit(
+        lambda: tok_model.init(
+            jax.random.key(0), jnp.zeros((1, 8, D)), jnp.ones((1, 8))
+        )
+    )()
+    if shard_store:
+        dev = shard_token_store_states(mesh, store.states)
+    else:
+        dev = jax.device_put(jnp.asarray(store.states), replicated(mesh))
+    cache: dict = {}
+    got = materialize_from_token_store_mesh(
+        tok_model.apply, params, store, mesh, dev,
+        batch_size=16, max_token_len=8, token_buckets=(8,),
+        apply_cache=cache,
+    )
+    want = materialize_from_token_store(
+        tok_model.apply, params, store,
+        batch_size=16, max_token_len=8, token_buckets=(8,),
+    )
+    assert got.shape == (num_news, D)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert len(cache) == 1
+    # Second call reuses the cached program (no growth) and stays equal.
+    got2 = materialize_from_token_store_mesh(
+        tok_model.apply, params, store, mesh, dev,
+        batch_size=16, max_token_len=8, token_buckets=(8,),
+        apply_cache=cache,
+    )
+    assert len(cache) == 1
+    np.testing.assert_allclose(got2, want, atol=1e-5)
