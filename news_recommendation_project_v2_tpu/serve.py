@@ -5,6 +5,12 @@ scoring. This module packages a trained tower + embedding table into a
 low-latency ranker: id lookup on host, one jitted tower call per request (shapes
 bucketed so the jit cache stays bounded), cosine scoring on device, ranked ids
 back.
+
+Pod serving (``mesh=``): the embedding tables row-shard over the mesh's
+``model`` axis — the tables are the serving memory footprint (a 10M-news
+1024d f32 corpus is 40GB, beyond one chip) — and ``rank_batch`` group batches
+shard over ``data``; gathers ride XLA collectives like the training tier.
+Single-device results are reproduced exactly (tested).
 """
 
 from __future__ import annotations
@@ -20,8 +26,9 @@ from .config import HISTORY_BUCKETS, IMPRESSION_BUCKETS, bucket_for
 from .data.grouping import dense_rank_by_segment
 
 
-@functools.partial(jax.jit, static_argnames=("tower_apply", "k"))
-def _retrieve_one(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, k):
+def _retrieve_impl(
+    tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, k, n_valid
+):
     gathered = query_emb[hist_idx][None] * hist_mask[None, :, None].astype(
         query_emb.dtype
     )
@@ -30,11 +37,26 @@ def _retrieve_one(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask,
     nu = jnp.maximum(jnp.linalg.norm(user), eps)
     nc = jnp.maximum(jnp.linalg.norm(news_emb, axis=-1), eps)
     scores = (news_emb @ user) / (nu * nc)
-    return jax.lax.top_k(scores, k)
+    # Shard-padding rows (mesh tables pad to an equal-shard multiple) must
+    # never win top-k: cosine can be negative, and a zero pad row scores 0.
+    scores = jnp.where(
+        jnp.arange(scores.shape[0]) < n_valid, scores, -jnp.inf
+    )
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx  # explicit TUPLE (top_k yields a list in some versions)
 
 
-@functools.partial(jax.jit, static_argnames=("tower_apply",))
-def _rank_many(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, cand_idx):
+@functools.partial(jax.jit, static_argnames=("tower_apply", "k"))
+def _retrieve_one(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, k):
+    return _retrieve_impl(
+        tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, k,
+        news_emb.shape[0],
+    )
+
+
+def _rank_many_impl(
+    tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, cand_idx
+):
     # hist_idx/hist_mask [B, L]; cand_idx [B, C] -> scores [B, C]
     gathered = query_emb[hist_idx] * hist_mask[..., None].astype(query_emb.dtype)
     user = tower_apply(params, gathered, hist_mask)
@@ -45,8 +67,14 @@ def _rank_many(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, ca
     return jnp.einsum("bcd,bd->bc", cands, user) / (nu * nc)
 
 
-@functools.partial(jax.jit, static_argnames=("tower_apply",))
-def _rank_one(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, cand_idx):
+_rank_many = functools.partial(jax.jit, static_argnames=("tower_apply",))(
+    _rank_many_impl
+)
+
+
+def _rank_one_impl(
+    tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, cand_idx
+):
     gathered = query_emb[hist_idx][None] * hist_mask[None, :, None].astype(
         query_emb.dtype
     )
@@ -56,6 +84,11 @@ def _rank_one(tower_apply, params, news_emb, query_emb, hist_idx, hist_mask, can
     nu = jnp.maximum(jnp.linalg.norm(user), eps)
     nc = jnp.maximum(jnp.linalg.norm(cands, axis=-1), eps)
     return (cands @ user) / (nu * nc)
+
+
+_rank_one = functools.partial(jax.jit, static_argnames=("tower_apply",))(
+    _rank_one_impl
+)
 
 
 class Ranker:
@@ -75,20 +108,113 @@ class Ranker:
         query_news_emb=None,
         buckets: tuple[int, ...] = HISTORY_BUCKETS,
         candidate_buckets: tuple[int, ...] = IMPRESSION_BUCKETS,
+        mesh=None,  # jax.sharding.Mesh: row-shard the tables over `model`
     ):
         self.tower_apply = tower_apply
         self.params = params
-        self.news_emb = jnp.asarray(news_emb)
-        self.query_emb = (
-            jnp.asarray(query_news_emb)
-            if query_news_emb is not None
-            else self.news_emb
-        )
+        self.num_news = int(np.asarray(news_emb).shape[0])
+        self.mesh = mesh
+        if mesh is not None:
+            # Pod serving: the embedding tables row-shard over the mesh's
+            # `model` axis (tables are the serving memory footprint — a
+            # 10M-news 1024d f32 corpus is 40GB, beyond one chip) and
+            # request batches shard over `data`. Gathers against the sharded
+            # tables ride XLA collectives, exactly like the training tier
+            # (`shard_news_table`). Single-request paths run with replicated
+            # grids (latency path); `rank_batch` shards its group batches
+            # (throughput path). Multi-process serving is out of scope.
+            assert jax.process_count() == 1, (
+                "mesh serving is single-process (front-ends replicate per "
+                "host; shard the mesh within one process)"
+            )
+            data_size = mesh.shape["data"]
+            assert data_size & (data_size - 1) == 0, (
+                "mesh serving needs a power-of-two data axis: rank_batch "
+                "group batches run at power-of-two sizes, which must divide "
+                "the data axis evenly"
+            )
+            from .parallel.sharding import shard_news_table
+            same = query_news_emb is None
+            self.news_emb = shard_news_table(mesh, jnp.asarray(news_emb))
+            self.query_emb = (
+                self.news_emb
+                if same
+                else shard_news_table(mesh, jnp.asarray(query_news_emb))
+            )
+            self._make_mesh_fns(mesh)
+        else:
+            self.news_emb = jnp.asarray(news_emb)
+            self.query_emb = (
+                jnp.asarray(query_news_emb)
+                if query_news_emb is not None
+                else self.news_emb
+            )
         self.row_of = {str(n): i for i, n in enumerate(news_ids)}
         self.id_of = [str(n) for n in news_ids]
         self.buckets = buckets
         self.candidate_buckets = candidate_buckets
         self._cap_cache: dict[tuple[int, int], int] = {}
+
+    def _make_mesh_fns(self, mesh) -> None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.sharding import batch_sharding, replicated, table_sharding
+
+        rep = replicated(mesh)
+        tab = table_sharding(mesh)
+        dat = batch_sharding(mesh)
+        dat2 = NamedSharding(mesh, P("data", None))
+        ta = self.tower_apply
+        self._rank_one_fn = jax.jit(
+            lambda p, ne, qe, hi, hm, ci: _rank_one_impl(ta, p, ne, qe, hi, hm, ci),
+            in_shardings=(rep, tab, tab, rep, rep, rep),
+            out_shardings=rep,
+        )
+        self._rank_many_fn = jax.jit(
+            lambda p, ne, qe, hi, hm, ci: _rank_many_impl(ta, p, ne, qe, hi, hm, ci),
+            in_shardings=(rep, tab, tab, dat2, dat2, dat2),
+            out_shardings=dat,
+        )
+        # Per-k jit cache: pjit rejects kwargs/statics alongside explicit
+        # in_shardings (CLAUDE.md), so each requested k closes over its own
+        # program (k values are few: the serving API's top-k sizes).
+        self._retrieve_cache: dict[int, Callable] = {}
+        n_valid = self.num_news
+
+        def retrieve_for(k: int) -> Callable:
+            if k not in self._retrieve_cache:
+                self._retrieve_cache[k] = jax.jit(
+                    lambda p, ne, qe, hi, hm: _retrieve_impl(
+                        ta, p, ne, qe, hi, hm, k, n_valid
+                    ),
+                    in_shardings=(rep, tab, tab, rep, rep),
+                    out_shardings=(rep, rep),
+                )
+            return self._retrieve_cache[k]
+
+        self._retrieve_for = retrieve_for
+
+    def _call_rank_one(self, hist_idx, hist_mask, cand_idx):
+        if self.mesh is not None:
+            return self._rank_one_fn(
+                self.params, self.news_emb, self.query_emb,
+                hist_idx, hist_mask, cand_idx,
+            )
+        return _rank_one(
+            self.tower_apply, self.params, self.news_emb, self.query_emb,
+            hist_idx, hist_mask, cand_idx,
+        )
+
+    def _call_rank_many(self, hist_idx, hist_mask, cand_idx):
+        if self.mesh is not None:
+            return self._rank_many_fn(
+                self.params, self.news_emb, self.query_emb,
+                hist_idx, hist_mask, cand_idx,
+            )
+        return _rank_many(
+            self.tower_apply, self.params, self.news_emb, self.query_emb,
+            hist_idx, hist_mask, cand_idx,
+        )
 
     def _batch_cap(self, L: int, C: int) -> int:
         """Per-shape-group request-batch cap for ``rank_batch``: group sizes
@@ -149,14 +275,8 @@ class Ranker:
             cand_idx[: len(part)] = np.maximum(part, 0)
             pending.append(
                 (
-                    _rank_one(
-                        self.tower_apply,
-                        self.params,
-                        self.news_emb,
-                        self.query_emb,
-                        hist_idx_j,
-                        hist_mask_j,
-                        jnp.asarray(cand_idx),
+                    self._call_rank_one(
+                        hist_idx_j, hist_mask_j, jnp.asarray(cand_idx)
                     ),
                     len(part),
                 )
@@ -237,15 +357,22 @@ class Ranker:
         hist_idx[: len(hist)] = hist
         hist_mask = np.zeros(L, np.float32)
         hist_mask[: len(hist)] = 1.0
-        scores, idx = _retrieve_one(
-            self.tower_apply,
-            self.params,
-            self.news_emb,
-            self.query_emb,
-            jnp.asarray(hist_idx),
-            jnp.asarray(hist_mask),
-            min(k, self.news_emb.shape[0]),
-        )
+        kk = min(k, self.num_news)
+        if self.mesh is not None:
+            scores, idx = self._retrieve_for(kk)(
+                self.params, self.news_emb, self.query_emb,
+                jnp.asarray(hist_idx), jnp.asarray(hist_mask),
+            )
+        else:
+            scores, idx = _retrieve_one(
+                self.tower_apply,
+                self.params,
+                self.news_emb,
+                self.query_emb,
+                jnp.asarray(hist_idx),
+                jnp.asarray(hist_mask),
+                kk,
+            )
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         return [(self.id_of[i], float(s)) for i, s in zip(idx, scores)]
@@ -312,6 +439,9 @@ class Ranker:
             for g0 in range(0, len(group), cap):
                 chunk = group[g0 : g0 + cap]
                 B = 1 << (len(chunk) - 1).bit_length()
+                if self.mesh is not None:
+                    # pow2 B and pow2 data axis: max() keeps divisibility.
+                    B = max(B, self.mesh.shape["data"])
                 hist_idx = np.zeros((B, L), np.int32)
                 hist_mask = np.zeros((B, L), np.float32)
                 hist_mask[len(chunk):, 0] = 1.0
@@ -322,11 +452,7 @@ class Ranker:
                     cand_idx[j, : len(known)] = np.maximum(known, 0)
                 window.push(
                     (
-                        _rank_many(
-                            self.tower_apply,
-                            self.params,
-                            self.news_emb,
-                            self.query_emb,
+                        self._call_rank_many(
                             jnp.asarray(hist_idx),
                             jnp.asarray(hist_mask),
                             jnp.asarray(cand_idx),

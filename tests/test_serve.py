@@ -192,3 +192,50 @@ def test_rank_batch_pads_group_batch_to_pow2(rng):
             assert [c for c, _ in got] == [c for c, _ in single]
             for (c1, s1), (c2, s2) in zip(got, single):
                 assert s1 == pytest.approx(s2, abs=1e-5)
+
+
+def test_mesh_ranker_matches_single_device(rng):
+    """Pod serving (round 5): a Ranker over the 8-device mesh (tables
+    row-sharded over `model`, batch groups sharded over `data`) reproduces
+    the single-device ranker on every surface — rank, retrieve (incl. the
+    shard-padding -inf guard: the padded table rows must never win top-k),
+    and rank_batch."""
+    from news_recommendation_project_v2_tpu.config import MeshConfig
+    from news_recommendation_project_v2_tpu.parallel import build_mesh
+
+    assert jax.device_count() == 8
+    mesh = build_mesh(MeshConfig(data_size=4, model_size=2))
+    # 21 news: NOT a multiple of the model axis -> the mesh table pads rows.
+    n = 21
+    emb = rng.standard_normal((n, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"N{i}" for i in range(n)]
+    tower = lambda p, e, m: average_pool(e, m)  # noqa: E731
+    plain = Ranker(tower, None, emb, ids)
+    sharded = Ranker(tower, None, emb, ids, mesh=mesh)
+    assert sharded.news_emb.shape[0] % 2 == 0  # padded to equal shards
+
+    hist = ["N0", "N3", "N7"]
+    cands = ["N5", "N1", "NUNKNOWN", "N12"]
+    got, want = sharded.rank(hist, cands), plain.rank(hist, cands)
+    assert [c for c, _ in got] == [c for c, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-5)
+
+    # retrieve: k big enough that a 0-scoring pad row COULD sneak in if
+    # unmasked (cosines can be negative).
+    got = sharded.retrieve(hist, k=n)
+    want = plain.retrieve(hist, k=n)
+    assert [c for c, _ in got] == [c for c, _ in want]
+    assert all(c in plain.row_of for c, _ in got)
+
+    reqs = [
+        (["N0", "N1"], ["N2", "N3"]),
+        (["N4"], ["N5", "N6", "N7"]),
+        (["N8", "N9", "N10"], ["N11"]),
+    ]
+    got_b, want_b = sharded.rank_batch(reqs), plain.rank_batch(reqs)
+    for g, w in zip(got_b, want_b):
+        assert [c for c, _ in g] == [c for c, _ in w]
+        for (_, a), (_, b) in zip(g, w):
+            assert a == pytest.approx(b, abs=1e-5)
