@@ -43,6 +43,18 @@ def test_env_disable_switch(val, monkeypatch, restore_jax_cache_config):
     assert jax.config.jax_compilation_cache_dir == prev  # untouched
 
 
+def test_env_disable_beats_explicit_dir(
+    tmp_path, monkeypatch, restore_jax_cache_config
+):
+    """ADVICE r4: the user/test kill switch must win even when a caller wires
+    an explicit default path (conftest hermeticity depends on it)."""
+    prev = jax.config.jax_compilation_cache_dir
+    monkeypatch.setenv("NRTPU_COMPILE_CACHE", "0")
+    assert enable_persistent_compile_cache(tmp_path / "cache") is None
+    assert jax.config.jax_compilation_cache_dir == prev
+    assert not (tmp_path / "cache").exists()
+
+
 def test_unwritable_location_runs_uncached(monkeypatch, restore_jax_cache_config):
     prev = jax.config.jax_compilation_cache_dir
     got = enable_persistent_compile_cache("/proc/nope/cache")
