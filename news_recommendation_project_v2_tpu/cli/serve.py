@@ -37,6 +37,7 @@ def build_ranker(
     dataset: str,
     ckpt: Path | None = None,
     tower_config: TowerConfig | None = None,
+    mesh=None,  # jax.sharding.Mesh: row-shard the tables for pod serving
 ) -> Ranker:
     """Assemble a Ranker from on-disk artifacts: the id-keyed embedding dump
     (``save_emb``'s output) and, when ``ckpt`` is given, a trained tower
@@ -62,7 +63,7 @@ def build_ranker(
 
         return Ranker(
             lambda p, e, m: average_pool(e, m), None, emb, news_ids,
-            query_news_emb=query,
+            query_news_emb=query, mesh=mesh,
         )
 
     import jax
@@ -82,7 +83,7 @@ def build_ranker(
     params = load_pytree(ckpt, like=like)
     return Ranker(
         lambda p, e, m: tower.apply(p, e, m), params, emb, news_ids,
-        query_news_emb=query,
+        query_news_emb=query, mesh=mesh,
     )
 
 
@@ -185,17 +186,37 @@ def main(argv=None):
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile all shape buckets before serving "
                              "(first requests then never pay jit latency)")
+    parser.add_argument(
+        "--mesh",
+        default=None,
+        metavar="DATA,MODEL",
+        help="serve over a (data, model) device mesh: embedding tables "
+        "row-shard over `model` (beyond-one-chip corpora), rank_batch "
+        "groups shard over `data`; device count must equal data*model",
+    )
     args = parser.parse_args(argv)
     if args.stdio == (args.port is not None):
         parser.error("exactly one of --port / --stdio is required")
 
     from .common import tower_kwargs_for_dim
 
+    mesh = None
+    if args.mesh:
+        from ..config import MeshConfig
+        from ..parallel import build_mesh
+
+        try:
+            data_size, model_size = (int(x) for x in args.mesh.split(","))
+        except ValueError:
+            parser.error("--mesh wants DATA,MODEL integers, e.g. 4,2")
+        mesh = build_mesh(MeshConfig(data_size=data_size, model_size=model_size))
+
     ranker = build_ranker(
         args.emb_dir,
         args.dataset,
         args.ckpt,
         TowerConfig(kind=args.tower, **tower_kwargs_for_dim(args.dim)),
+        mesh=mesh,
     )
     if args.warmup:
         import time

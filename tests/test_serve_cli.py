@@ -187,3 +187,23 @@ def test_build_ranker_rejects_mismatched_tower_dim(emb_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="reduced_dim"):
         build_ranker(path, "dev", ckpt=tmp_path / "nonexistent", tower_config=cfg)
+
+
+def test_build_ranker_mesh_matches_plain(emb_dir):
+    """--mesh serving (round 5): a mesh-built ranker answers the same ranked
+    lists as the plain one through the CLI assembly + dispatch path."""
+    from news_recommendation_project_v2_tpu.config import MeshConfig
+    from news_recommendation_project_v2_tpu.parallel import build_mesh
+
+    path, emb, ids = emb_dir
+    mesh = build_mesh(MeshConfig(data_size=4, model_size=2))
+    pod = build_ranker(path, "dev", mesh=mesh)
+    assert pod.mesh is mesh
+    plain = build_ranker(path, "dev")
+    req = {"history": ["N0", "N3"], "candidates": ["N1", "N2", "N5", "NOPE"]}
+    got = dispatch(pod, "rank", req)["ranked"]
+    want = dispatch(plain, "rank", req)["ranked"]
+    assert [c for c, _ in got] == [c for c, _ in want]
+    got_r = dispatch(pod, "retrieve", {"history": ["N0"], "k": 4})["ranked"]
+    want_r = dispatch(plain, "retrieve", {"history": ["N0"], "k": 4})["ranked"]
+    assert [c for c, _ in got_r] == [c for c, _ in want_r]
